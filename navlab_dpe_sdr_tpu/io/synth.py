@@ -1,0 +1,229 @@
+"""Synthetic GPS L1 C/A IF-capture generator.
+
+The reference repo's only test data was an externally simulated 45 s capture
+(README.md:91) whose binary blob is not distributed. This module recreates
+such captures from first principles so every stage — acquisition, tracking,
+nav-data decode, PVT, DPE — can be validated against known ground truth.
+
+Two generators:
+
+- `synth_simple`: one PRN with constant code/carrier rates, directly in the
+  receiver's own signal model. For correlator/acquisition unit tests.
+- `CaptureSimulator`: full-geometry multi-satellite capture: per-satellite
+  transmit-time solve (Kepler orbit + satellite clock + Sagnac/earth-rotation
+  range), LNAV navigation message with parity, configurable C/N0 and receiver
+  clock drift. Signal timing is solved exactly at 1 ms nodes in float64 and
+  linearly interpolated per sample (interp error < 1e-16 s).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import C, F_CA, F_L1, L_CA, OEDot, T_CA
+from ..libgnss import lnav, satpos
+from ..libgnss.cacode import ca_code
+from ..libgnss.ephemeris import EphArray
+
+
+def synth_simple(prn: int, fs: float, n_samples: int, rc: float = 0.0,
+                 ri: float = 0.0, fc: float = F_CA, fi: float = 0.0,
+                 cn0_dbhz: float | None = 45.0, sigma: float = 32.0,
+                 bits: np.ndarray | None = None, bit_phase_cp: int = 0,
+                 seed: int = 0) -> np.ndarray:
+    """Constant-rate single-PRN complex baseband signal.
+
+    Model matches the receiver's replica exactly (correlator.py:135-147):
+    chips at code_idc = t*fc + rc, carrier exp(+j*2pi*(fi*t + ri)).
+    bits: optional +/-1 nav bits, one per 20 code periods, starting so that
+    code period index `bit_phase_cp` (mod 20) is the bit boundary.
+    """
+    t = np.arange(n_samples) / fs
+    fidc = t * fc + rc
+    chips = ca_code(prn)[np.mod(np.floor(fidc), L_CA).astype(np.int64)]
+    carrier = np.exp(2j * np.pi * (fi * t + ri))
+    sig = chips * carrier
+    if bits is not None:
+        cp_idx = np.floor(fidc / L_CA).astype(np.int64)
+        bit_idx = (cp_idx + bit_phase_cp) // 20
+        sig = sig * bits[np.clip(bit_idx, 0, len(bits) - 1)]
+    if cn0_dbhz is None:
+        return sig
+    amp = sigma * np.sqrt(10.0 ** (cn0_dbhz / 10.0) / fs)
+    rng = np.random.default_rng(seed)
+    noise = (rng.standard_normal(n_samples) + 1j * rng.standard_normal(n_samples))
+    noise *= sigma / np.sqrt(2.0)
+    return amp * sig + noise
+
+
+@dataclass
+class ChannelTruth:
+    prn: int
+    t_sv_nodes: np.ndarray       # satellite-clock transmit time at each node
+    doppler0: float              # carrier Doppler at capture start [Hz]
+    code_phase0: float           # code phase (chips within period) at start
+    cp0: float                   # absolute code-period count at sample 0
+    amplitude: float
+
+
+@dataclass
+class CaptureTruth:
+    fs: float
+    tow0: float                  # true GPS receive time of sample 0
+    rx_ecef: np.ndarray          # 8-state truth (static)
+    tow_frame0: float            # LNAV stream start (subframe boundary)
+    channels: list = field(default_factory=list)
+
+
+class CaptureSimulator:
+    """Full-geometry capture generator for a static (or slowly moving)
+    receiver."""
+
+    def __init__(self, eph_arr: EphArray, rx_state_ecef: np.ndarray,
+                 tow0: float, fs: float = 2.5e6,
+                 cn0_dbhz=45.0, sigma: float = 32.0,
+                 clock_drift: float = 0.0, nav_data: bool = True,
+                 seed: int = 7):
+        self.eph = eph_arr
+        self.k = len(eph_arr)
+        self.rx = np.asarray(rx_state_ecef, dtype=np.float64).reshape(-1)
+        if self.rx.size == 3:
+            self.rx = np.concatenate([self.rx, np.zeros(5)])
+        self.tow0 = float(tow0)
+        self.fs = float(fs)
+        self.cn0 = np.broadcast_to(np.asarray(cn0_dbhz, dtype=np.float64),
+                                   (self.k,)).copy()
+        self.sigma = float(sigma)
+        self.drift = float(clock_drift)   # receiver clock drift [s/s]
+        self.nav_data = nav_data
+        self.seed = seed
+
+        # LNAV streams start two subframes before tow0 so early t_sv is covered
+        self.tow_frame0 = np.floor(self.tow0 / 6.0) * 6.0 - 12.0
+        self._bit_streams: list[np.ndarray] = []
+
+    def _ensure_bits(self, n_subframes: int) -> None:
+        while True:
+            have = 0 if not self._bit_streams else len(self._bit_streams[0]) // 300
+            if have >= n_subframes:
+                return
+            self._bit_streams = [
+                1 - 2 * lnav.encode_stream(self.eph.ephs[i], self.tow_frame0,
+                                           n_subframes + 2)
+                for i in range(self.k)
+            ]
+
+    def _solve_t_sv(self, t_rx_nodes: np.ndarray) -> np.ndarray:
+        """Satellite-clock transmit times for true GPS receive times.
+
+        Solves t_sv = t_rx + clkb(t_sv) - r(t_sv)/C with the same Sagnac
+        convention the nav engine applies (frames.ecef_to_eci at
+        t_gps=t_tx, t_c=t_rx).
+        """
+        delay = np.empty((self.k, t_rx_nodes.size))
+        rx_pos = self.rx[0:3]
+        rx_vel = self.rx[4:7]
+        for i in range(self.k):
+            e = self.eph.ephs[i]
+            t_sv = t_rx_nodes - 0.075
+            for _ in range(4):
+                clkb, _clkd = satpos.sat_clock_correction(e, t_sv)
+                t_true = t_sv - clkb
+                s = satpos.sat_state(e, t_true)
+                otau = OEDot * (t_true - t_rx_nodes)
+                co, so = np.cos(otau), np.sin(otau)
+                sx = co * s[0] - so * s[1]
+                sy = so * s[0] + co * s[1]
+                sz = s[2]
+                px = rx_pos[0] + rx_vel[0] * (t_rx_nodes - self.tow0)
+                py = rx_pos[1] + rx_vel[1] * (t_rx_nodes - self.tow0)
+                pz = rx_pos[2] + rx_vel[2] * (t_rx_nodes - self.tow0)
+                r = np.sqrt((sx - px) ** 2 + (sy - py) ** 2 + (sz - pz) ** 2)
+                t_sv = t_rx_nodes + clkb - r / C
+            # store the small delay d = t_sv - t_rx: full float64 resolution
+            # survives differencing (t_sv alone has only ~6e-11 s ulp)
+            delay[i] = clkb - r / C
+        return delay
+
+    def generate(self, n_samples: int, start_sample: int = 0,
+                 return_truth: bool = False):
+        """Generate complex128 baseband samples [start, start+n)."""
+        fs = self.fs
+        node_dt = 1e-3
+        n0 = int(np.floor(start_sample / fs / node_dt))
+        n1 = int(np.ceil((start_sample + n_samples) / fs / node_dt)) + 1
+        node_t_file = np.arange(n0, n1 + 1) * node_dt
+        # receiver clock drift stretches the sampling grid in true GPS time
+        t_rx_nodes = self.tow0 + node_t_file * (1.0 + self.drift)
+
+        delay_nodes = self._solve_t_sv(t_rx_nodes)
+        t_sv_nodes = t_rx_nodes[None, :] + delay_nodes
+
+        n_sf = int(np.ceil((t_sv_nodes.max() - self.tow_frame0) / 6.0)) + 1
+        if self.nav_data:
+            self._ensure_bits(n_sf)
+
+        t_file = start_sample / fs + np.arange(n_samples) / fs
+        t_rx = self.tow0 + t_file * (1.0 + self.drift)
+
+        sig = np.zeros(n_samples, dtype=np.complex128)
+        truth_channels = []
+        for i in range(self.k):
+            t_sv = np.interp(t_file, node_t_file, t_sv_nodes[i])
+            ts_rel = t_sv - self.tow_frame0           # small: exact chips
+            chip_total = ts_rel * F_CA
+            chips = ca_code(self.eph.prn[i])[
+                np.mod(np.floor(chip_total), L_CA).astype(np.int64)]
+            phase = F_L1 * (t_sv - t_rx)
+            carrier = np.exp(2j * np.pi * np.mod(phase, 1.0))
+            s = chips * carrier
+            if self.nav_data:
+                bit_idx = np.floor(ts_rel / 0.02).astype(np.int64)
+                s = s * self._bit_streams[i][np.clip(bit_idx, 0,
+                                                     len(self._bit_streams[i]) - 1)]
+            amp = self.sigma * np.sqrt(10.0 ** (self.cn0[i] / 10.0) / fs)
+            sig += amp * s
+
+            if return_truth:
+                # observed Doppler in file time: F_L1 * d(delay)/dt * (1+drift)
+                dop = (F_L1 * (delay_nodes[i][1] - delay_nodes[i][0])
+                       / (t_rx_nodes[1] - t_rx_nodes[0]) * (1.0 + self.drift)
+                       if len(node_t_file) > 1 else 0.0)
+                truth_channels.append(ChannelTruth(
+                    prn=int(self.eph.prn[i]),
+                    t_sv_nodes=t_sv_nodes[i],
+                    doppler0=float(dop),
+                    code_phase0=float(np.mod(ts_rel[0] * F_CA, L_CA)),
+                    cp0=float(np.floor(ts_rel[0] * F_CA / L_CA)),
+                    amplitude=float(amp)))
+
+        rng = np.random.default_rng(self.seed + start_sample)
+        noise = (rng.standard_normal(n_samples)
+                 + 1j * rng.standard_normal(n_samples)) * (self.sigma / np.sqrt(2.0))
+        sig += noise
+
+        if return_truth:
+            truth = CaptureTruth(fs=fs, tow0=self.tow0, rx_ecef=self.rx,
+                                 tow_frame0=self.tow_frame0,
+                                 channels=truth_channels)
+            return sig, truth
+        return sig
+
+    def write_capture(self, path: str, duration_s: float,
+                      chunk_s: float = 1.0) -> None:
+        """Stream a capture to an interleaved int16 I/Q file."""
+        from .rawfile import DTYPE_IQ16
+        total = int(round(duration_s * self.fs))
+        chunk = int(round(chunk_s * self.fs))
+        with open(path, "wb") as fo:
+            done = 0
+            while done < total:
+                n = min(chunk, total - done)
+                iq = self.generate(n, start_sample=done)
+                out = np.empty(n, dtype=DTYPE_IQ16)
+                out["i"] = np.clip(np.round(iq.real), -32768, 32767)
+                out["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+                out.tofile(fo)
+                done += n
