@@ -4,16 +4,26 @@ separately)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# jax is pre-imported at interpreter startup in this environment, so env vars
+# are too late; force the CPU backend through the config API instead (before
+# any backend is initialized).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import numpy as np
 import pytest
+
+# Large FFT compiles are slow; cache compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/navlab_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFDATA = pathlib.Path("/root/reference/demofiles")
