@@ -1,0 +1,75 @@
+"""Benchmark: end-to-end DPE real-time factor on the demo-equivalent scenario.
+
+Runs the full DPE receiver (host f64 bookkeeping + fused TPU device step)
+over an in-memory synthetic 2.5 MHz / 8-PRN capture with the reference's
+default 25^4 + 25^4 spread grid, and reports the real-time factor
+(processed-signal seconds per wall second).
+
+Baseline: the reference CUDARecv targets 1.0x real time on a Jetson TX2
+(20 ms budget per block, BASELINE.md); vs_baseline is therefore the factor
+itself.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+    from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+    from navlab_dpe_sdr_tpu.models.dpe import DPEReceiver
+    from navlab_dpe_sdr_tpu.models.grid import spread_grid
+
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    warmup = 5
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=47.0)
+    n = 50000 * (n_blocks + warmup)
+    print(f"# synthesizing {n / 2.5e6:.1f}s of 8-PRN capture...",
+          file=sys.stderr)
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+
+    rf = SampleFile(samples=samples, fs=2.5e6)
+    grid = spread_grid()
+    rx = DPEReceiver(rf, hand, grid=grid, eph=arr)
+
+    for _ in range(warmup):
+        rx.step()
+
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        rx.step()
+    wall = time.perf_counter() - t0
+
+    errs = [float(np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]))
+            for f in rx.fixes[warmup:]]
+    signal_s = n_blocks * 0.02
+    rtf = signal_s / wall
+    gridpts_s = n_blocks * (grid.n_pos + grid.n_vel) * len(hand.prn_list) / wall
+
+    print(f"# {n_blocks} blocks in {wall:.3f}s; median fix error "
+          f"{np.median(errs):.1f} m; grid-point-channel evals/s "
+          f"{gridpts_s:.3e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "dpe_real_time_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_2.5MHz_8prn_25^4grid",
+        "vs_baseline": round(rtf / 1.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

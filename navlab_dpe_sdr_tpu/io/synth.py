@@ -85,6 +85,7 @@ class CaptureSimulator:
                  tow0: float, fs: float = 2.5e6,
                  cn0_dbhz=45.0, sigma: float = 32.0,
                  clock_drift: float = 0.0, nav_data: bool = True,
+                 bandwidth_hz: float | None = 2.2e6,
                  seed: int = 7):
         self.eph = eph_arr
         self.k = len(eph_arr)
@@ -98,6 +99,10 @@ class CaptureSimulator:
         self.sigma = float(sigma)
         self.drift = float(clock_drift)   # receiver clock drift [s/s]
         self.nav_data = nav_data
+        # front-end bandwidth (double-sided). A real RF chain bandlimits the
+        # rectangular chips, rounding the correlation peak — without this the
+        # ideal triangle's kink makes sub-sample interpolation degenerate.
+        self.bandwidth = bandwidth_hz
         self.seed = seed
 
         # LNAV streams start two subframes before tow0 so early t_sv is covered
@@ -198,6 +203,16 @@ class CaptureSimulator:
                     code_phase0=float(np.mod(ts_rel[0] * F_CA, L_CA)),
                     cp0=float(np.floor(ts_rel[0] * F_CA / L_CA)),
                     amplitude=float(amp)))
+
+        if self.bandwidth is not None and self.bandwidth < fs:
+            # brickwall-with-rolloff front-end filter (circular per chunk;
+            # edge effects span a handful of samples)
+            spec = np.fft.fft(sig)
+            f = np.abs(np.fft.fftfreq(n_samples, d=1.0 / fs))
+            half = self.bandwidth / 2.0
+            roll = 0.1 * half
+            h = np.clip((half + roll - f) / roll, 0.0, 1.0)
+            sig = np.fft.ifft(spec * h)
 
         rng = np.random.default_rng(self.seed + start_sample)
         noise = (rng.standard_normal(n_samples)

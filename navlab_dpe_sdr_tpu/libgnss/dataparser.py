@@ -28,11 +28,20 @@ def find_subframe_starts(cp_sign: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     corr = np.correlate(cp_sign, _PREAMBLE_CP, "valid")
     hits = np.where(np.abs(corr) > 153)[0]
     hit_set = set(hits.tolist())
+    best = None
     for t in hits:
         cand = [t + k * _SUBFRAME_CP for k in range(5)]
+        if t + 5 * _SUBFRAME_CP > len(cp_sign):
+            continue  # full 5 subframes must fit in the stream
         if all(c in hit_set for c in cand):
             locs = np.array(cand)
-            return locs, np.sign(corr[locs])
+            if t >= 40:
+                return locs, np.sign(corr[locs])
+            # keep a <40 pattern as fallback (no D29*/D30* history bits)
+            if best is None:
+                best = (locs, np.sign(corr[locs]))
+    if best is not None:
+        return best
     raise ValueError("no 5-subframe preamble pattern found")
 
 
@@ -52,15 +61,22 @@ def parse_ephemerides(cp_sign: np.ndarray, cp_offset: float, prn: int):
     locs, pols = find_subframe_starts(cp_sign)
 
     bits = bits_from_cp_signs(cp_sign, int(locs[0]), 1500)
-    # previous word's D29*/D30* from the 2 bits before the first preamble
-    prev2 = bits_from_cp_signs(cp_sign, int(locs[0]) - 40, 2)
+
+    if locs[0] >= 40:
+        # previous word's D29*/D30* from the 2 bits before the first preamble
+        prev2 = bits_from_cp_signs(cp_sign, int(locs[0]) - 40, 2)
+        d29 = int((1 - prev2[0]) // 2)
+        d30 = int((1 - prev2[1]) // 2)
+    else:
+        # no history: D30* equals the preamble polarity (+160 correlation
+        # <-> transmitted == source <-> D30* = 0); D29* unknowable — guess
+        # D30*, which only risks the first word's parity check, not its bits
+        d30 = 0 if pols[0] > 0 else 1
+        d29 = d30
 
     subframe_dicts = []
     cp_of_subframe = []
     parity_ok = 0
-    # received stream is +/-1; convert to transmitted 0/1 convention
-    d29 = int((1 - prev2[0]) // 2)
-    d30 = int((1 - prev2[1]) // 2)
     for sf in range(5):
         data_bits = np.empty(300, dtype=np.int64)
         for w in range(10):

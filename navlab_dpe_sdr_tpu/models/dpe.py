@@ -1,0 +1,315 @@
+"""Direct Position Estimation receiver: the 20 ms block loop.
+
+Per block (sequencing identical to the reference's dp_track,
+receiver.py:205-225, and CUDARecv's FlowThread module order, flow.cu:122-137):
+
+1. EKF time update; rxTime += T.
+2. Batch correlate the block against per-channel replicas (device).
+3. Geometry-predict each channel's (cp, rc) to the block end (host f64,
+   channel.scalar_time_update_adv:194-245 == CHM_PropagateChannels).
+4. Score the position-time and velocity-drift manifolds (device), take the
+   argmax (or score-weighted mean) as the 8-state measurement.
+5. EKF measurement update (passthrough by default).
+6. Back-calculate each channel's fi / fc from the updated state
+   (receiver.dp_measurement_update_channels:411-450).
+
+Host keeps all time bookkeeping in float64; the device sees only
+small per-channel windows + the grid, in float32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import C, F_CA, F_L1, L_CA, T_CA
+from ..libgnss import frames, naveng, satpos
+from ..libgnss.cacode import ca_table
+from ..libgnss.ephemeris import EphArray
+from ..io.handoff import Handoff
+from ..io.rawfile import SampleFile
+from ..ops import dpe as dpe_ops
+from .ekf import NavEKF
+from .grid import Grid, spread_grid
+
+
+@dataclass
+class DPEFix:
+    mc: int
+    rx_time: float
+    rx_time_a: float
+    x_ecef: np.ndarray
+    pos_score: float
+    vel_score: float
+
+
+@dataclass
+class DPEConfig:
+    T: float = 0.02
+    l_power: int = 1
+    ekf_mode: str = "passthrough"   # CUDARecv default EnableEKF=false
+    use_argmax: bool = True          # reference's active estimator variant
+    interp: str = "quadratic"        # "linear" = exact reference parity
+    doppler_sign: float = 1.0
+
+
+class DPEReceiver:
+    """DPE receiver initialized from a handoff checkpoint."""
+
+    def __init__(self, rawfile: SampleFile, handoff: Handoff,
+                 grid: Grid | None = None, config: DPEConfig | None = None,
+                 eph: EphArray | None = None):
+        self.rawfile = rawfile
+        self.cfg = config or DPEConfig()
+        self.grid = grid or spread_grid()
+        self.prn_list = list(handoff.prn_list)
+        c = len(self.prn_list)
+
+        self.eph = eph if eph is not None else handoff.eph_array()
+        assert len(self.eph) == c
+
+        # channel state (float64 host)
+        self.rc = handoff.rc.astype(np.float64).copy()
+        self.ri = handoff.ri.astype(np.float64).copy()
+        self.fc = handoff.fc.astype(np.float64).copy()
+        self.fi = handoff.fi.astype(np.float64).copy()
+        self.cp = handoff.cp.astype(np.float64).copy()
+
+        self.rx_time = float(handoff.rx_time)
+        self.ekf = NavEKF(handoff.x_ecef, T=self.cfg.T, mode=self.cfg.ekf_mode)
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+
+        rawfile.seek_bytes(handoff.bytes_read)
+        rawfile.set_block(self.cfg.T, self.cfg.T, verbose=False)
+        self.S = rawfile.S
+        self.carr_fftpts = rawfile.carr_fftpts
+        self._time_idc = jnp.asarray((np.arange(self.S) / rawfile.fs)
+                                     .astype(np.float32))
+        self._chips_np = ca_table(self.prn_list)   # [C, 1023] int8
+        # FFT of each channel's nominal code replica: per-block replicas are
+        # frequency-domain fractional shifts of these (gather-free)
+        self._code_fft0 = jnp.asarray(dpe_ops.nominal_code_fft(
+            self._chips_np, rawfile.fs, self.S))
+
+        # device-resident grid
+        g = self.grid
+        self._d_enu = jnp.asarray(g.d_enu.astype(np.float32))
+        self._dt_m = jnp.asarray(g.dt_m.astype(np.float32))
+        self._dv_enu = jnp.asarray(g.dv_enu.astype(np.float32))
+        self._dtdot = jnp.asarray(g.dtdot.astype(np.float32))
+
+        self.mc = 0
+        self.fixes: list[DPEFix] = []
+        self.flip_log: list[np.ndarray] = []
+
+    # -- host-side f64 helpers --------------------------------------------
+
+    def _idx_next_bit(self) -> np.ndarray:
+        """First sample of the next nav bit; S (=no flip) if out of window.
+
+        Parity: correlator.py:373-379 (idx_next_bit + replica-side flip).
+        """
+        cp_since = np.mod(self.cp - self.eph.cp_timestamp, 20.0)
+        cp_next = 20.0 - cp_since
+        idx_next = (np.floor((L_CA * cp_next - self.rc)
+                             * (self.rawfile.fs / self.fc)).astype(np.int64)
+                    + 1)
+        out = np.where((idx_next > 0) & (idx_next < self.S), idx_next, self.S)
+        return out.astype(np.int32)
+
+    def _predict_channels(self):
+        """Geometry-based (cp, rc) prediction to the block end
+        (channel.scalar_time_update_adv:194-245)."""
+        T = self.cfg.T
+        # frequency-propagated prediction
+        cp_pred = self.cp + np.floor((self.rc + self.fc * T) / L_CA)
+        rc_pred = np.mod(self.rc + self.fc * T, L_CA)
+
+        x_eci = frames.ecef_to_eci(self.ekf.x, t_gps=self.rx_time_a,
+                                   t_c=self.rx_time_a)
+
+        t_tx = (self.eph.tow_timestamp
+                + T_CA * (cp_pred - self.eph.cp_timestamp) + rc_pred / F_CA)
+        clkb, clkd = satpos.sat_clock_correction(self.eph, t_tx)
+        sats_ecef = satpos.sat_state(self.eph, t_tx - clkb, clkb, clkd)
+        t_tx_c = t_tx - clkb
+        sats_eci = np.empty_like(sats_ecef)
+        for k in range(sats_ecef.shape[1]):
+            sats_eci[:, k] = frames.ecef_to_eci(sats_ecef[:, k],
+                                                t_gps=t_tx_c[k],
+                                                t_c=self.rx_time_a)
+
+        rng = np.linalg.norm(sats_eci[0:3] - x_eci[0:3, None], axis=0)
+        bc_pr = rng + x_eci[3] - C * sats_eci[3]
+        bc_tt = self.rx_time - bc_pr / C
+        bc_cfd = (bc_tt - self.eph.tow_timestamp
+                  - T_CA * (self.cp - self.eph.cp_timestamp))
+        bc_rc = bc_cfd * F_CA
+
+        self.cp = np.floor(bc_rc / L_CA) + self.cp
+        self.rc = np.mod(bc_rc, L_CA)
+        self.ri = np.mod(self.ri + self.fi * T, 1.0)
+
+    def _sats_now(self):
+        """Satellite ECI states at the current (cp, rc) epoch."""
+        return naveng.satellite_positions(self.cp, self.rc, self.eph,
+                                          t_c=self.rx_time_a)
+
+    def _manifold_params(self, sats_eci):
+        """Per-channel float64 scoring centers -> float32 device params."""
+        x_eci = frames.ecef_to_eci(self.ekf.x, t_gps=self.rx_time_a,
+                                   t_c=self.rx_time_a)
+        dvec = sats_eci[0:3] - x_eci[0:3, None]
+        r0 = np.linalg.norm(dvec, axis=0)
+        los = dvec / r0
+        r_e2n = frames.ecef_to_enu_matrix(self.ekf.x[0:3])
+        los_enu = (r_e2n @ los).T                   # [C, 3]
+
+        # position manifold center index (code_corr, fftshifted, length S)
+        bc_pr = r0 + x_eci[3] - C * sats_eci[3]
+        bc_tt = self.rx_time - bc_pr / C
+        bc_cfd = (bc_tt - self.eph.tow_timestamp
+                  - T_CA * (self.cp - self.eph.cp_timestamp))
+        bc_rc0 = bc_cfd * F_CA - self.rc
+        pos_idx_c = (self.rawfile.fs / self.fc) * (-bc_rc0) + self.S / 2.0
+        pos_coef = (self.rawfile.fs / self.fc) * (F_CA / C)
+
+        # velocity manifold center index (carr_fft, fftshifted)
+        rr = x_eci[4:7, None] - sats_eci[4:7]
+        losrr = np.sum(los * rr, axis=0)
+        bc_psr = -losrr + x_eci[7] - C * sats_eci[7]
+        bc_fi = (-F_L1 / C * bc_psr) / self.cfg.doppler_sign
+        bc_fi0 = bc_fi - self.fi
+        vel_idx_c = ((self.carr_fftpts / self.rawfile.fs) * bc_fi0
+                     + self.carr_fftpts / 2.0)
+        vel_coef = np.full(len(self.prn_list),
+                           -(self.carr_fftpts / self.rawfile.fs)
+                           * F_L1 / (C * self.cfg.doppler_sign))
+
+        return los_enu, r0, pos_idx_c, pos_coef, vel_idx_c, vel_coef, r_e2n
+
+    # -- the block step ----------------------------------------------------
+
+    def step(self, raw_block: np.ndarray | None = None) -> DPEFix:
+        rf = self.rawfile
+        if raw_block is None:
+            if rf.S_skip:
+                rf.skip_gap()
+            raw_block = rf.read_block()
+        raw = jnp.asarray(raw_block.astype(np.complex64))
+
+        # 1. time update
+        self.ekf.time_update()
+        self.rx_time += self.cfg.T
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+
+        # 2. snapshot pre-prediction channel state (the correlation replicas
+        #    use it) and the nav-bit flip boundary
+        m_int, m_frac = dpe_ops.replica_shift_parts(
+            self.rc, self.fc - F_CA, self.rawfile.fs, self.cfg.T, self.S)
+        fi_corr = self.fi.astype(np.float32)
+        ri_corr = self.ri.astype(np.float32)
+        idx_next = self._idx_next_bit()
+
+        # 3. channel prediction to block end (host float64)
+        self._predict_channels()
+        self.mc += 1
+
+        # 4. manifold geometry (host float64 centers)
+        sats_eci, _ = self._sats_now()
+        (los_enu, r0, pos_idx_c, pos_coef, vel_idx_c, vel_coef,
+         r_e2n) = self._manifold_params(sats_eci)
+
+        pos_start = np.clip(np.round(pos_idx_c).astype(np.int64)
+                            - dpe_ops.CODE_WIN // 2, 0,
+                            self.S - dpe_ops.CODE_WIN).astype(np.int32)
+        vel_start = np.clip(np.round(vel_idx_c).astype(np.int64)
+                            - dpe_ops.CARR_WIN // 2, 0,
+                            self.carr_fftpts - dpe_ops.CARR_WIN).astype(np.int32)
+        params = dpe_ops.ManifoldParams(
+            los_enu=jnp.asarray(los_enu.astype(np.float32)),
+            r0=jnp.asarray(r0.astype(np.float32)),
+            pos_center=jnp.asarray((pos_idx_c - pos_start).astype(np.float32)),
+            pos_coef=jnp.asarray(pos_coef.astype(np.float32)),
+            vel_center=jnp.asarray((vel_idx_c - vel_start).astype(np.float32)),
+            vel_coef=jnp.asarray(vel_coef.astype(np.float32)))
+
+        # 5. one fused device call: replicas + correlation + scoring
+        (pos_scores, pos_arg, vel_scores, vel_arg,
+         flip_used) = dpe_ops.dpe_device_step(
+            raw, self._code_fft0,
+            jnp.asarray(m_int), jnp.asarray(m_frac),
+            jnp.asarray(idx_next), jnp.asarray(fi_corr),
+            jnp.asarray(ri_corr), self._time_idc,
+            jnp.asarray(pos_start), jnp.asarray(vel_start), params,
+            self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
+            carr_fftpts=self.carr_fftpts, l_power=self.cfg.l_power,
+            interp=self.cfg.interp)
+
+        if self.cfg.use_argmax:
+            pa, va = int(pos_arg), int(vel_arg)
+            d_enu = self.grid.d_enu[pa]
+            dt = self.grid.dt_m[pa]
+            dv_enu = self.grid.dv_enu[va]
+            dtdot = self.grid.dtdot[va]
+            pos_peak = float(pos_scores[pa])
+            vel_peak = float(vel_scores[va])
+        else:
+            ps = np.asarray(pos_scores, dtype=np.float64)
+            vs = np.asarray(vel_scores, dtype=np.float64)
+            d_enu = ps @ self.grid.d_enu / ps.sum()
+            dt = ps @ self.grid.dt_m / ps.sum()
+            dv_enu = vs @ self.grid.dv_enu / vs.sum()
+            dtdot = vs @ self.grid.dtdot / vs.sum()
+            pos_peak, vel_peak = float(ps.max()), float(vs.max())
+
+        z = self.ekf.x.copy()
+        z[0:3] += r_e2n.T @ d_enu
+        z[3] += dt
+        z[4:7] += r_e2n.T @ dv_enu
+        z[7] += dtdot
+
+        # 5. EKF measurement update
+        self.ekf.measurement_update(z)
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+
+        # 6. back-calculate channel frequencies from the updated state
+        self._update_channels_from_state()
+
+        self.flip_log.append(np.asarray(flip_used))
+        fix = DPEFix(mc=self.mc, rx_time=self.rx_time,
+                     rx_time_a=self.rx_time_a, x_ecef=self.ekf.x.copy(),
+                     pos_score=pos_peak, vel_score=vel_peak)
+        self.fixes.append(fix)
+        return fix
+
+    def _update_channels_from_state(self):
+        """receiver.dp_measurement_update_channels:411-450."""
+        sats_eci, _ = self._sats_now()
+        x_eci = frames.ecef_to_eci(self.ekf.x, t_gps=self.rx_time_a,
+                                   t_c=self.rx_time_a)
+        dvec = sats_eci[0:3] - x_eci[0:3, None]
+        r0 = np.linalg.norm(dvec, axis=0)
+        los = dvec / r0
+
+        rr = x_eci[4:7, None] - sats_eci[4:7]
+        losrr = np.sum(los * rr, axis=0)
+        bc_psr = -losrr + x_eci[7] - C * sats_eci[7]
+        bc_fi = (-F_L1 / C * bc_psr) / self.cfg.doppler_sign
+        self.fi = bc_fi
+
+        bc_pr = r0 + x_eci[3] - C * sats_eci[3]
+        bc_tt = self.rx_time - bc_pr / C
+        bc_cfd = (bc_tt - self.eph.tow_timestamp
+                  - T_CA * (self.cp - self.eph.cp_timestamp))
+        bc_rc = bc_cfd * F_CA
+        self.fc = (F_CA + self.rawfile.fcaid * bc_fi
+                   + (bc_rc - self.rc) / self.cfg.T)
+
+    def run(self, n_blocks: int):
+        for _ in range(n_blocks):
+            self.step()
+        return self.fixes

@@ -1,0 +1,211 @@
+"""Scalar receiver: acquisition -> tracking -> nav decode -> PVT -> handoff.
+
+Host orchestration around the device tracking engine. The measurement logs
+(per-ms channel state) live in numpy; the device does all sample-domain work
+in chunked `lax.scan` calls.
+
+Parity: reference pygnss/pythonreceiver/receiver.py (scalar_acquisition
+:452-520, scalar_track :522-542, parse_ephemerides :922-932,
+save_scalar_handoff :804-875) and 1_Data_reduct_scalar.py's flow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import C, F_CA, L_CA, T_CA
+from ..libgnss import dataparser, naveng
+from ..libgnss.cacode import ca_table
+from ..libgnss.ephemeris import ALL_FIELDS, EphArray, Ephemeris
+from ..io.handoff import Handoff, write_handoff
+from ..io.rawfile import SampleFile
+from ..ops import acquisition as acq_ops
+from ..ops import tracking as trk_ops
+
+LOG_FIELDS = ("iE", "qE", "iP", "qP", "iL", "qL", "rc", "ri", "fc", "fi",
+              "cp", "lock", "lockval", "snr", "dpc", "dpi")
+
+
+@dataclass
+class ChannelLogs:
+    """Per-channel measurement history (numpy, grows by chunk)."""
+    prn: int
+    data: dict = field(default_factory=dict)
+    cp_sign: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    ephemeris: Ephemeris | None = None
+
+    def append(self, **cols):
+        for k, v in cols.items():
+            self.data.setdefault(k, []).append(v)
+
+    def col(self, name) -> np.ndarray:
+        return np.concatenate(self.data[name]) if self.data.get(name) else np.zeros(0)
+
+
+class ScalarReceiver:
+    """Multi-channel scalar (DLL/PLL) receiver over a SampleFile."""
+
+    def __init__(self, rawfile: SampleFile, prn_list):
+        self.rawfile = rawfile
+        self.prn_list = [int(p) for p in prn_list]
+        self.channels = {p: ChannelLogs(prn=p) for p in self.prn_list}
+        self.code_table = jnp.asarray(
+            ca_table(self.prn_list).astype(np.float32))
+        self.state: trk_ops.TrackState | None = None
+        self.mcount = 0
+        self._m_samp: list[int] = []
+
+    # -- acquisition -------------------------------------------------------
+
+    def acquire(self, T: float = 0.01, verbose: bool = True):
+        """Best-of-two-blocks acquisition (reference receiver.py:452-520)."""
+        rf = self.rawfile
+        s_per = int(round(T * rf.fs))
+        start_pos = rf.sample_pos
+        rf.set_block(T, T, verbose=False)
+        block1 = rf.read_block().astype(np.complex64)
+        block2 = rf.read_block().astype(np.complex64)
+        rf.seek(start_pos, whence=0)
+        rf.set_block(T_CA, T_CA, verbose=False)
+
+        res1 = acq_ops.acquire(block1, self.prn_list, rf.fs, rf.fcaid)
+        res2 = acq_ops.acquire(block2, self.prn_list, rf.fs, rf.fcaid)
+
+        rc, ri, fc, fi = [], [], [], []
+        results = []
+        for r1, r2 in zip(res1, res2):
+            if r2.cppm > r1.cppm:
+                r = r2
+                rc.append(np.mod(r.rc - r.fc * T, L_CA))
+                ri.append(np.mod(r.ri - r.fi * T, 1.0))
+            else:
+                r = r1
+                rc.append(r.rc)
+                ri.append(r.ri)
+            fc.append(r.fc)
+            fi.append(r.fi)
+            results.append(r)
+            if verbose:
+                print(f"PRN {r.prn:2d} found={r.found} rc={rc[-1]:8.2f} "
+                      f"fi={r.fi:8.1f} cppm={r.cppm:5.2f}")
+
+        self.state = trk_ops.init_state(rc=rc, ri=ri, fc=fc, fi=fi)
+        return results
+
+    # -- tracking ----------------------------------------------------------
+
+    def track(self, n_ms: int, chunk_ms: int = 2000):
+        """Track n_ms of data in device chunks, appending measurement logs."""
+        assert self.state is not None, "acquire() (or load state) first"
+        rf = self.rawfile
+        rf.set_block(T_CA, T_CA, verbose=False)
+        s = rf.S
+
+        done = 0
+        while done < n_ms:
+            n = min(chunk_ms, n_ms - done)
+            start_samp = rf.sample_pos
+            raw = np.empty((n, s), dtype=np.complex64)
+            for i in range(n):
+                raw[i] = rf.read_block()
+            self.state, log = trk_ops.track_chunk(
+                self.state, jnp.asarray(raw), self.code_table, rf.fs, rf.fcaid)
+            self._absorb_log(log)
+            self._m_samp.extend(start_samp + (np.arange(n) + 1) * s)
+            done += n
+            self.mcount += n
+
+    def _absorb_log(self, log):
+        arrs = {k: np.asarray(getattr(log, k)) for k in LOG_FIELDS}
+        ncp = np.asarray(log.ncp)           # [steps, C]
+        signs = np.asarray(log.signs)       # [steps, C, 2]
+        for ci, prn in enumerate(self.prn_list):
+            ch = self.channels[prn]
+            ch.append(**{k: arrs[k][:, ci] for k in LOG_FIELDS})
+            # expand completed-code-period signs into the cp_sign stream
+            n1 = ncp[:, ci] >= 1
+            n2 = ncp[:, ci] >= 2
+            out = []
+            for t in np.nonzero(n1 | n2)[0]:
+                out.append(signs[t, ci, 0])
+                if n2[t]:
+                    out.append(signs[t, ci, 1])
+            if out:
+                ch.cp_sign = np.concatenate([ch.cp_sign, np.array(out)])
+
+    # -- navigation --------------------------------------------------------
+
+    def decode_ephemerides(self, verbose: bool = True):
+        """Frame + decode LNAV for each channel from its cp_sign stream."""
+        good = []
+        for prn in self.prn_list:
+            ch = self.channels[prn]
+            try:
+                eph, parity_ok = dataparser.parse_ephemerides(
+                    ch.cp_sign, cp_offset=0.0, prn=prn)
+                ch.ephemeris = eph
+                good.append(prn)
+                if verbose:
+                    print(f"PRN {prn:2d}: TOW {eph.tow_timestamp:.0f} at cp "
+                          f"{eph.cp_timestamp:.0f}, parity {parity_ok}/50, "
+                          f"complete={eph.complete}")
+            except ValueError as e:
+                if verbose:
+                    print(f"PRN {prn:2d}: decode failed: {e}")
+        return good
+
+    def set_ephemerides(self, eph_by_prn: dict[int, Ephemeris]):
+        for prn, eph in eph_by_prn.items():
+            if prn in self.channels:
+                self.channels[prn].ephemeris = eph
+
+    def eph_array(self, prns=None) -> EphArray:
+        prns = prns if prns is not None else self.prn_list
+        return EphArray([self.channels[p].ephemeris for p in prns])
+
+    def observables(self, mc: int | None = None):
+        """(cp, rc, fi) per channel at measurement index mc (default last)."""
+        mc = (self.mcount - 1) if mc is None else mc
+        cp = np.array([self.channels[p].col("cp")[mc] for p in self.prn_list],
+                      dtype=np.float64)
+        rc = np.array([self.channels[p].col("rc")[mc] for p in self.prn_list])
+        fi = np.array([self.channels[p].col("fi")[mc] for p in self.prn_list])
+        return cp, rc, fi
+
+    def nav_solution(self, mc: int | None = None, rx_time0=None, rx_pos0=None):
+        cp, rc, fi = self.observables(mc)
+        return naveng.calculate_nav_soln(cp, rc, fi, self.eph_array(),
+                                         doppler_sign=self.rawfile.ds,
+                                         rx_time0=rx_time0, rx_pos0=rx_pos0)
+
+    # -- handoff -----------------------------------------------------------
+
+    def save_handoff(self, path: str, mc: int | None = None) -> Handoff:
+        """Export the DPE-initialization checkpoint at measurement mc."""
+        mc = (self.mcount - 1) if mc is None else mc
+        rx_time_a, rx_time, x_ecef, _, _ = self.nav_solution(mc)
+
+        h = Handoff()
+        h.rx_time = float(rx_time)
+        h.rx_time_a = float(rx_time_a)
+        h.x_ecef = np.asarray(x_ecef).ravel()
+        h.bytes_read = int(self._m_samp[mc] * self.rawfile.datatype.itemsize)
+        h.prn_list = list(self.prn_list)
+        for name in ("rc", "ri", "fc", "fi", "cp"):
+            setattr(h, name, np.array(
+                [self.channels[p].col(name)[mc] for p in self.prn_list],
+                dtype=np.float64))
+        h.cp_timestamp = np.array(
+            [self.channels[p].ephemeris.cp_timestamp for p in self.prn_list])
+        h.tow = np.array(
+            [self.channels[p].ephemeris.tow_timestamp for p in self.prn_list])
+        for name in ALL_FIELDS + ("IODE", "IODC"):
+            h.eph_fields[name] = np.array(
+                [getattr(self.channels[p].ephemeris, name)
+                 for p in self.prn_list], dtype=np.float64)
+        if path:
+            write_handoff(path, h)
+        return h

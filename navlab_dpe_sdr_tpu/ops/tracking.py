@@ -1,0 +1,284 @@
+"""Scalar tracking engine: batched E/P/L correlation + DLL/PLL loops.
+
+One jitted `lax.scan` advances all channels through a chunk of 1 ms windows.
+The per-step work (carrier wipeoff, three code-phase gathers, segmented
+correlation sums, discriminators, loop filters, lock/SNR) is vectorized over
+channels; the sequential dependence lives only in the tiny per-channel carry.
+
+Precision design (TPU float32): phases are carried as residuals —
+`dfc = fc - F_CA` so the per-step code-phase update
+`rc' = mod(rc + fc*T, L_CA) = mod(rc + dfc*T, L_CA)` never forms the
+1023-chip full-rate term, keeping accumulated f32 rounding ~1e-3 chip over
+a 36 s run. Carrier phase similarly accumulates `fi*T` (a few cycles).
+
+Parity: reference pygnss/pythonreceiver/scalar/correlator.py:135-283
+(segmented E/P/L with polarity resolution and the p_a carry),
+channel.py:104-273 (update sequencing), discriminator.py:25-54,
+loopfilter.py:89-104, lockdetector.py:64-101, snrmeter.py:42-61.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import F_CA, L_CA
+
+T_MS = 1e-3
+SNR_N = 20            # running-average window (reference channel.py:62)
+LOCK_K = 1.5
+LOCK_LPF = 0.0247
+LOCK_LOSS_TH = 50
+LOCK_LOCK_TH = 240
+
+# 2nd-order critically damped loop constants (reference loopfilter.py:37-41)
+_W0P_CODE = 3.0 / 0.53     # Bnp = 3 Hz code
+_W0P_CARR = 40.0 / 0.53    # Bnp = 40 Hz carrier
+
+
+class TrackState(NamedTuple):
+    """Per-channel tracking carry (all arrays shaped [C])."""
+    rc: jax.Array        # code phase [chips]
+    dfc: jax.Array       # fc - F_CA [chips/s]
+    ri: jax.Array        # carrier phase [cycles]
+    fi: jax.Array        # carrier Doppler [Hz]
+    dfc_bias: jax.Array  # fc_bias (loop-filter operating point)
+    fi_bias: jax.Array
+    cp: jax.Array        # completed code periods (int32)
+    p_a: jax.Array       # carried partial prompt correlation (complex64)
+    lf_code_h: jax.Array  # bilinear integrator accumulators
+    lf_carr_h: jax.Array
+    lock_i: jax.Array    # lock detector LPF states
+    lock_q: jax.Array
+    losscount: jax.Array
+    lockcount: jax.Array
+    lock: jax.Array
+    snr_z: jax.Array     # [C, SNR_N] power samples ring
+    snr_v: jax.Array     # [C, SNR_N] variance samples ring
+    snr_fill: jax.Array  # samples seen (int32) — ring warm-up
+
+
+class TrackLog(NamedTuple):
+    """Per-step outputs (stacked to [steps, C] by scan)."""
+    iE: jax.Array
+    qE: jax.Array
+    iP: jax.Array
+    qP: jax.Array
+    iL: jax.Array
+    qL: jax.Array
+    rc: jax.Array
+    ri: jax.Array
+    fc: jax.Array
+    fi: jax.Array
+    cp: jax.Array
+    ncp: jax.Array       # code periods completed this step (0/1/2)
+    signs: jax.Array     # [C, 2] nav-bit signs for completed periods
+    lock: jax.Array
+    lockval: jax.Array
+    snr: jax.Array
+    dpc: jax.Array       # DLL discriminator output
+    dpi: jax.Array       # PLL discriminator output
+
+
+def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
+    """Build a TrackState from acquisition results (sets loop biases)."""
+    rc = np.asarray(rc, dtype=np.float32)
+    c = rc.shape[0]
+    fi = np.asarray(fi, dtype=np.float32)
+    dfc = np.asarray(fc, dtype=np.float64) - F_CA
+    zeros = np.zeros(c, dtype=np.float32)
+    izeros = np.zeros(c, dtype=np.int32)
+    return TrackState(
+        rc=jnp.asarray(rc),
+        dfc=jnp.asarray(dfc.astype(np.float32)),
+        ri=jnp.asarray(np.asarray(ri, dtype=np.float32)),
+        fi=jnp.asarray(fi),
+        dfc_bias=jnp.asarray(dfc.astype(np.float32)),
+        fi_bias=jnp.asarray(fi),
+        cp=jnp.asarray(izeros if cp is None else np.asarray(cp, np.int32)),
+        p_a=jnp.zeros(c, jnp.complex64),
+        lf_code_h=jnp.asarray(zeros), lf_carr_h=jnp.asarray(zeros),
+        lock_i=jnp.asarray(zeros), lock_q=jnp.asarray(zeros),
+        losscount=jnp.asarray(izeros), lockcount=jnp.asarray(izeros),
+        lock=jnp.asarray(izeros),
+        snr_z=jnp.zeros((c, SNR_N), jnp.float32),
+        snr_v=jnp.zeros((c, SNR_N), jnp.float32),
+        snr_fill=jnp.asarray(izeros),
+    )
+
+
+def _correlate_step(state: TrackState, raw: jax.Array, code_table: jax.Array,
+                    time_idc: jax.Array, fs: float):
+    """E/P/L correlation of one 1 ms window for all channels.
+
+    raw: [S] complex64 (shared across channels); code_table: [C, 1023] f32.
+    Returns segment sums e_s/p_s/l_s: [C, 3] complex64 and ncp [C] int32.
+    """
+    s = raw.shape[0]
+    # carrier wipeoff [C, S]
+    ph = state.fi[:, None] * time_idc[None, :] + state.ri[:, None]
+    bb = raw[None, :] * jnp.exp(-2j * jnp.pi * ph)
+
+    # code phase trajectory: fidc = t*F_CA + (t*dfc + rc)
+    base = time_idc * np.float32(F_CA)                     # [S]
+    fidc = base[None, :] + (time_idc[None, :] * state.dfc[:, None]
+                            + state.rc[:, None])           # [C, S]
+
+    def chips_at(offset):
+        idx = jnp.mod(jnp.floor(fidc + offset), np.float32(L_CA)).astype(jnp.int32)
+        return jnp.take_along_axis(code_table, idx, axis=1)  # [C, S]
+
+    early = chips_at(0.5)
+    prompt = chips_at(0.0)
+    late = chips_at(-0.5)
+
+    seg = jnp.floor(fidc * np.float32(1.0 / L_CA)).astype(jnp.int32)  # [C,S]
+    seg = jnp.clip(seg, 0, 2)
+
+    def seg_sums(repl):
+        prod = bb * repl                                    # [C, S] complex
+        out = []
+        for k in range(3):
+            m = (seg == k)
+            out.append(jnp.sum(jnp.where(m, prod, 0.0), axis=1))
+        return jnp.stack(out, axis=1)                       # [C, 3]
+
+    e_s = seg_sums(early)
+    p_s = seg_sums(prompt)
+    l_s = seg_sums(late)
+
+    fc = np.float32(F_CA) + state.dfc
+    ncp = jnp.floor((np.float32(s / fs) * fc + state.rc)
+                    * np.float32(1.0 / L_CA)).astype(jnp.int32)
+    return e_s, p_s, l_s, ncp
+
+
+def _polarity_combine(state: TrackState, e_s, p_s, l_s, ncp):
+    """Receiver-synchronous combination with nav-bit polarity resolution
+    (reference correlator.py:162-279)."""
+    sums = e_s + p_s + l_s                                  # [C, 3]
+    s0, s1, s2 = sums[:, 0], sums[:, 1], sums[:, 2]
+
+    flip01 = jnp.abs(s0 + s1) < jnp.abs(s0 - s1)
+    flip12 = jnp.abs(s1 + s2) < jnp.abs(s1 - s2)
+    g1 = jnp.where(flip01, -1.0, 1.0).astype(jnp.float32)
+    g2 = jnp.where(flip01, -1.0, jnp.where(flip12, -1.0, 1.0)).astype(jnp.float32)
+
+    def comb(x):
+        return x[:, 0] + g1 * x[:, 1] + g2 * x[:, 2]
+
+    e_r, p_r, l_r = comb(e_s), comb(p_s), comb(l_s)
+
+    # signal-synchronous prompt sums for nav-bit signs
+    p_s1 = state.p_a + p_s[:, 0]
+    p_s2 = p_s[:, 1]
+    sign1 = -jnp.sign(jnp.real(p_s1))
+    sign2 = -jnp.sign(jnp.real(p_s2))
+    signs = jnp.stack([sign1, sign2], axis=1)               # [C, 2]
+
+    p_a_new = jnp.where(ncp == 0, state.p_a + p_s[:, 0],
+                        jnp.where(ncp == 1, p_s[:, 1], p_s[:, 2]))
+    return e_r, p_r, l_r, signs, p_a_new
+
+
+def _lock_snr_update(state: TrackState, p_r):
+    """Kaplan-Hegarty lock detector + variance-summing C/N0 meter."""
+    ip, qp = jnp.real(p_r), jnp.imag(p_r)
+
+    li = LOCK_LPF * jnp.abs(ip) + (1 - LOCK_LPF) * state.lock_i
+    lq = LOCK_LPF * jnp.abs(qp) + (1 - LOCK_LPF) * state.lock_q
+    in_lock = (li / LOCK_K) > lq
+    losscount = jnp.where(in_lock, 0, state.losscount + 1)
+    lockcount = jnp.where(in_lock, state.lockcount + 1, 0)
+    lock = jnp.where(in_lock & (state.lockcount > LOCK_LOCK_TH), 1,
+                     jnp.where(~in_lock & (state.losscount > LOCK_LOSS_TH),
+                               0, state.lock))
+    lockval = li / LOCK_K - lq
+
+    # SNR: rings of the last N power / variance samples
+    z = ip * ip + qp * qp
+    snr_z = jnp.concatenate([state.snr_z[:, 1:], z[:, None]], axis=1)
+    z_mean = jnp.mean(snr_z, axis=1)
+    v = (z - z_mean) ** 2
+    snr_v = jnp.concatenate([state.snr_v[:, 1:], v[:, None]], axis=1)
+    z_var = jnp.mean(snr_v, axis=1)
+    carrier = jnp.sqrt(jnp.maximum(z_mean * z_mean - z_var, 0.0))
+    noise_var = jnp.maximum((z_mean - carrier) / 2.0, 1e-12)
+    logarg = jnp.maximum(carrier / (2.0 * (SNR_N * T_MS) * noise_var), 1.0)
+    snr = 10.0 * jnp.log10(logarg)
+
+    new = state._replace(lock_i=li, lock_q=lq, losscount=losscount,
+                         lockcount=lockcount, lock=lock, snr_z=snr_z,
+                         snr_v=snr_v, snr_fill=state.snr_fill + 1)
+    return new, lock, lockval, snr
+
+
+def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float):
+    """DLL/PLL discriminators -> 2nd-order loop filters -> new fc/fi."""
+    ip, qp = jnp.real(p_r), jnp.imag(p_r)
+    dpi = jnp.where(ip != 0.0, jnp.arctan(qp / jnp.where(ip == 0, 1.0, ip))
+                    / (2.0 * np.pi), 0.0).astype(jnp.float32)
+
+    e_env = jnp.abs(e_r)
+    l_env = jnp.abs(l_r)
+    denom = e_env + l_env
+    dpc = jnp.where(denom != 0.0,
+                    (e_env - l_env) / (2.0 * jnp.maximum(denom, 1e-30)),
+                    0.0).astype(jnp.float32)
+
+    # bilinear integrator: h' = h + T*Kvp*x; out = (h + h')/2 + Kpp*x
+    def lf(h, x, w0p):
+        kvp, kpp = np.float32(w0p * w0p), np.float32(1.414 * w0p)
+        h_new = h + np.float32(T_MS) * (kvp * x)
+        return h_new, (h_new + h) * 0.5 + kpp * x
+
+    lf_carr_h, di = lf(state.lf_carr_h, dpi, _W0P_CARR)
+    lf_code_h, dc = lf(state.lf_code_h, dpc, _W0P_CODE)
+
+    fi_new = state.fi_bias + di
+    dfc_new = state.dfc_bias + dc + np.float32(fcaid) * (state.fi_bias + di)
+    return state._replace(fi=fi_new, dfc=dfc_new, lf_carr_h=lf_carr_h,
+                          lf_code_h=lf_code_h), dpc, dpi
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "fcaid"))
+def track_chunk(state: TrackState, raw_chunk: jax.Array,
+                code_table: jax.Array, fs: float, fcaid: float):
+    """Track a chunk of consecutive 1 ms windows.
+
+    raw_chunk: [steps, S] complex64. Returns (final_state, TrackLog stacked
+    over steps).
+    """
+    s = raw_chunk.shape[1]
+    time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
+
+    def body(st: TrackState, raw):
+        e_s, p_s, l_s, ncp = _correlate_step(st, raw, code_table, time_idc, fs)
+        e_r, p_r, l_r, signs, p_a_new = _polarity_combine(st, e_s, p_s, l_s, ncp)
+        st1, lock, lockval, snr = _lock_snr_update(
+            st._replace(p_a=p_a_new), p_r)
+
+        log = TrackLog(
+            iE=jnp.real(e_r), qE=jnp.imag(e_r),
+            iP=jnp.real(p_r), qP=jnp.imag(p_r),
+            iL=jnp.real(l_r), qL=jnp.imag(l_r),
+            rc=st.rc, ri=st.ri, fc=np.float32(F_CA) + st.dfc, fi=st.fi,
+            cp=st.cp, ncp=ncp, signs=signs, lock=lock, lockval=lockval,
+            snr=snr, dpc=jnp.zeros_like(st.rc), dpi=jnp.zeros_like(st.rc))
+
+        # time update with pre-update fc/fi (reference sequencing)
+        rc_new = jnp.mod(st.rc + st.dfc * np.float32(T_MS), np.float32(L_CA))
+        ri_new = jnp.mod(st.ri + st.fi * np.float32(T_MS), 1.0)
+        cp_new = st.cp + ncp
+
+        st2 = st1._replace(rc=rc_new, ri=ri_new, cp=cp_new)
+        # measurement update -> fc/fi for the next window
+        st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid)
+        log = log._replace(dpc=dpc, dpi=dpi)
+        return st3, log
+
+    return jax.lax.scan(body, state, raw_chunk)
