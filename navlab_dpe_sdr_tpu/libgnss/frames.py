@@ -83,6 +83,28 @@ def ecef_to_eci(posvel: np.ndarray, t_gps: float, t_c: float) -> np.ndarray:
     return out[:, 0] if np.ndim(posvel) == 1 else out
 
 
+def ecef_to_eci_batch(posvel: np.ndarray, t_gps: np.ndarray,
+                      t_c: float) -> np.ndarray:
+    """Vectorized ecef_to_eci over columns with per-column epochs.
+
+    posvel: (8, K); t_gps: (K,). Rotation angle differs per column.
+    """
+    pv = np.asarray(posvel, dtype=np.float64)
+    otau = OEDot * (np.asarray(t_gps, dtype=np.float64) - t_c)
+    c, s = np.cos(otau), np.sin(otau)
+    out = pv.copy()
+    x, y = pv[0], pv[1]
+    rx = c * x - s * y
+    ry = s * x + c * y
+    out[0], out[1] = rx, ry
+    vx, vy = pv[4], pv[5]
+    rvx = c * vx - s * vy
+    rvy = s * vx + c * vy
+    out[4] = rvx - OEDot * ry
+    out[5] = rvy + OEDot * rx
+    return out
+
+
 def eci_to_ecef(posvel: np.ndarray, t_gps: float, t_c: float) -> np.ndarray:
     """Inverse of ecef_to_eci (reference utils.py:117-170)."""
     pv = np.atleast_2d(np.asarray(posvel, dtype=np.float64).T).T

@@ -38,10 +38,7 @@ def satellite_positions(cp, rc, eph: EphArray, t_c: float | None = None):
     states_ecef, t_tx_corr = satpos.sat_state_at_transmit(eph, t_tx)
     if t_c is None:
         return states_ecef, t_tx_corr
-    states_eci = np.empty_like(states_ecef)
-    for k in range(states_ecef.shape[1]):
-        states_eci[:, k] = frames.ecef_to_eci(states_ecef[:, k],
-                                              t_gps=t_tx_corr[k], t_c=t_c)
+    states_eci = frames.ecef_to_eci_batch(states_ecef, t_tx_corr, t_c)
     return states_eci, t_tx_corr
 
 

@@ -32,6 +32,7 @@ from ..libgnss.ephemeris import EphArray
 from ..io.handoff import Handoff
 from ..io.rawfile import SampleFile
 from ..ops import dpe as dpe_ops
+from ..ops import dpe_real as dpe_real_ops
 from .ekf import NavEKF
 from .grid import Grid, spread_grid
 
@@ -53,6 +54,8 @@ class DPEConfig:
     ekf_mode: str = "passthrough"   # CUDARecv default EnableEKF=false
     use_argmax: bool = True          # reference's active estimator variant
     interp: str = "quadratic"        # "linear" = exact reference parity
+    engine: str = "real"             # "real" = gather/complex-free windowed
+                                     # engine; "fft" = full-FFT path
     doppler_sign: float = 1.0
 
 
@@ -89,10 +92,18 @@ class DPEReceiver:
         self._time_idc = jnp.asarray((np.arange(self.S) / rawfile.fs)
                                      .astype(np.float32))
         self._chips_np = ca_table(self.prn_list)   # [C, 1023] int8
-        # FFT of each channel's nominal code replica: per-block replicas are
-        # frequency-domain fractional shifts of these (gather-free)
-        self._code_fft0 = jnp.asarray(dpe_ops.nominal_code_fft(
-            self._chips_np, rawfile.fs, self.S))
+        self.period = int(round(T_CA * rawfile.fs))
+        assert self.S % self.period == 0
+        if self.cfg.engine == "fft":
+            # FFT of each channel's nominal code replica: per-block replicas
+            # are frequency-domain fractional shifts (gather-free)
+            self._code_fft0 = jnp.asarray(dpe_ops.nominal_code_fft(
+                self._chips_np, rawfile.fs, self.S))
+        else:
+            self._chips_f32 = jnp.asarray(self._chips_np.astype(np.float32))
+            self._base0 = jnp.asarray(
+                (np.arange(self.period) / rawfile.fs * F_CA)
+                .astype(np.float32))
 
         # device-resident grid
         g = self.grid
@@ -136,11 +147,8 @@ class DPEReceiver:
         clkb, clkd = satpos.sat_clock_correction(self.eph, t_tx)
         sats_ecef = satpos.sat_state(self.eph, t_tx - clkb, clkb, clkd)
         t_tx_c = t_tx - clkb
-        sats_eci = np.empty_like(sats_ecef)
-        for k in range(sats_ecef.shape[1]):
-            sats_eci[:, k] = frames.ecef_to_eci(sats_ecef[:, k],
-                                                t_gps=t_tx_c[k],
-                                                t_c=self.rx_time_a)
+        sats_eci = frames.ecef_to_eci_batch(sats_ecef, t_tx_c,
+                                            self.rx_time_a)
 
         rng = np.linalg.norm(sats_eci[0:3] - x_eci[0:3, None], axis=0)
         bc_pr = rng + x_eci[3] - C * sats_eci[3]
@@ -199,8 +207,6 @@ class DPEReceiver:
             if rf.S_skip:
                 rf.skip_gap()
             raw_block = rf.read_block()
-        raw = jnp.asarray(raw_block.astype(np.complex64))
-
         # 1. time update
         self.ekf.time_update()
         self.rx_time += self.cfg.T
@@ -208,8 +214,8 @@ class DPEReceiver:
 
         # 2. snapshot pre-prediction channel state (the correlation replicas
         #    use it) and the nav-bit flip boundary
-        m_int, m_frac = dpe_ops.replica_shift_parts(
-            self.rc, self.fc - F_CA, self.rawfile.fs, self.cfg.T, self.S)
+        rc_snap = self.rc.copy()
+        dfc_snap = self.fc - F_CA
         fi_corr = self.fi.astype(np.float32)
         ri_corr = self.ri.astype(np.float32)
         idx_next = self._idx_next_bit()
@@ -238,16 +244,37 @@ class DPEReceiver:
             vel_coef=jnp.asarray(vel_coef.astype(np.float32)))
 
         # 5. one fused device call: replicas + correlation + scoring
-        (pos_scores, pos_arg, vel_scores, vel_arg,
-         flip_used) = dpe_ops.dpe_device_step(
-            raw, self._code_fft0,
-            jnp.asarray(m_int), jnp.asarray(m_frac),
-            jnp.asarray(idx_next), jnp.asarray(fi_corr),
-            jnp.asarray(ri_corr), self._time_idc,
-            jnp.asarray(pos_start), jnp.asarray(vel_start), params,
-            self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
-            carr_fftpts=self.carr_fftpts, l_power=self.cfg.l_power,
-            interp=self.cfg.interp)
+        if self.cfg.engine == "fft":
+            raw = jnp.asarray(raw_block.astype(np.complex64))
+            m_int, m_frac = dpe_ops.replica_shift_parts(
+                rc_snap, dfc_snap, self.rawfile.fs, self.cfg.T, self.S)
+            (pos_scores, pos_arg, vel_scores, vel_arg,
+             flip_used) = dpe_ops.dpe_device_step(
+                raw, self._code_fft0,
+                jnp.asarray(m_int), jnp.asarray(m_frac),
+                jnp.asarray(idx_next), jnp.asarray(fi_corr),
+                jnp.asarray(ri_corr), self._time_idc,
+                jnp.asarray(pos_start), jnp.asarray(vel_start), params,
+                self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
+                carr_fftpts=self.carr_fftpts, l_power=self.cfg.l_power,
+                interp=self.cfg.interp)
+        else:
+            rc_mid = np.mod(rc_snap + dfc_snap * (self.cfg.T / 2.0),
+                            L_CA).astype(np.float32)
+            raw_re = jnp.asarray(np.ascontiguousarray(
+                raw_block.real.astype(np.float32)))
+            raw_im = jnp.asarray(np.ascontiguousarray(
+                raw_block.imag.astype(np.float32)))
+            (pos_scores, pos_arg, vel_scores, vel_arg,
+             flip_used) = dpe_real_ops.dpe_device_step_real(
+                raw_re, raw_im, self._chips_f32, self._base0,
+                jnp.asarray(rc_mid), jnp.asarray(idx_next),
+                jnp.asarray(fi_corr), jnp.asarray(ri_corr), self._time_idc,
+                jnp.asarray(pos_start), jnp.asarray(vel_start), params,
+                self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
+                carr_fftpts=self.carr_fftpts, period=self.period,
+                n_periods=self.S // self.period,
+                l_power=self.cfg.l_power, interp=self.cfg.interp)
 
         if self.cfg.use_argmax:
             pa, va = int(pos_arg), int(vel_arg)
@@ -312,4 +339,119 @@ class DPEReceiver:
     def run(self, n_blocks: int):
         for _ in range(n_blocks):
             self.step()
+        return self.fixes
+
+    # -- batched mode (deferred feedback) ----------------------------------
+
+    def _prepare_block(self):
+        """Host prep for one block: time update, channel prediction,
+        manifold geometry — packed for the batched device scan. Does NOT
+        apply measurement feedback (the batch does that at its boundary)."""
+        self.ekf.time_update()
+        self.rx_time += self.cfg.T
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+
+        rc_snap = self.rc.copy()
+        dfc_snap = self.fc - F_CA
+        fi_corr = self.fi.astype(np.float32)
+        ri_corr = self.ri.astype(np.float32)
+        idx_next = self._idx_next_bit()
+        rc_mid = np.mod(rc_snap + dfc_snap * (self.cfg.T / 2.0), L_CA)
+
+        self._predict_channels()
+        self.mc += 1
+        # steer channel frequencies from the (frozen) predicted state so the
+        # within-batch correlations stay coherent — the per-block loop gets
+        # this from dp_measurement_update_channels after each measurement
+        self._update_channels_from_state()
+
+        sats_eci, _ = self._sats_now()
+        (los_enu, r0, pos_idx_c, pos_coef, vel_idx_c, vel_coef,
+         r_e2n) = self._manifold_params(sats_eci)
+        pos_start = np.clip(np.round(pos_idx_c).astype(np.int64)
+                            - dpe_ops.CODE_WIN // 2, 0,
+                            self.S - dpe_ops.CODE_WIN).astype(np.int32)
+        vel_start = np.clip(np.round(vel_idx_c).astype(np.int64)
+                            - dpe_ops.CARR_WIN // 2, 0,
+                            self.carr_fftpts - dpe_ops.CARR_WIN).astype(np.int32)
+
+        fpk = np.stack([
+            rc_mid, fi_corr, ri_corr,
+            los_enu[:, 0], los_enu[:, 1], los_enu[:, 2], r0,
+            pos_idx_c - pos_start, pos_coef,
+            vel_idx_c - vel_start, vel_coef,
+        ]).astype(np.float32)                               # [11, C]
+        ipk = np.stack([idx_next, pos_start, vel_start]).astype(np.int32)
+        return fpk, ipk, r_e2n, self.rx_time, self.mc, self.ekf.x.copy()
+
+    def _apply_measurement(self, pa: int, va: int, r_e2n, rx_time, mc,
+                           pos_peak, vel_peak, flip_row, x_pred):
+        # offsets are relative to the prediction the scoring used
+        z = np.asarray(x_pred, dtype=np.float64).copy()
+        z[0:3] += r_e2n.T @ self.grid.d_enu[pa]
+        z[3] += self.grid.dt_m[pa]
+        z[4:7] += r_e2n.T @ self.grid.dv_enu[va]
+        z[7] += self.grid.dtdot[va]
+        self.ekf.measurement_update(z)
+        self.flip_log.append(flip_row)
+        fix = DPEFix(mc=mc, rx_time=rx_time,
+                     rx_time_a=rx_time - self.ekf.x[3] / C,
+                     x_ecef=self.ekf.x.copy(),
+                     pos_score=float(pos_peak), vel_score=float(vel_peak))
+        self.fixes.append(fix)
+        return fix
+
+    def run_batched(self, n_blocks: int, lookahead: int = 25,
+                    raw_blocks_dev=None, start_block: int = 0):
+        """High-throughput mode: N blocks per device dispatch.
+
+        Per batch: two packed parameter uploads + one fused scan dispatch +
+        one result fetch. Within a batch, predictions propagate from the
+        batch-start fix (windows tolerate the sub-sample drift); EKF
+        measurements and channel steering are applied at batch boundaries.
+
+        raw_blocks_dev: optional device-resident int16 capture [B, S, 2]
+        covering blocks start_block..; if None, blocks are read from the
+        SampleFile and uploaded per batch.
+        """
+        assert self.cfg.engine == "real", "batched mode uses the real engine"
+        rf = self.rawfile
+        done = 0
+        while done < n_blocks:
+            n = min(lookahead, n_blocks - done)
+            preps = [self._prepare_block() for _ in range(n)]
+            fpk = jnp.asarray(np.stack([p[0] for p in preps]))  # [N, 11, C]
+            ipk = jnp.asarray(np.stack([p[1] for p in preps]))  # [N, 3, C]
+
+            if raw_blocks_dev is None:
+                blocks = np.stack([rf.read_block_raw() for _ in range(n)])
+                raw_dev = jnp.asarray(blocks)                   # [N, S, 2]
+                start = 0
+            else:
+                raw_dev = raw_blocks_dev
+                start = start_block + done
+
+            out = dpe_real_ops.dpe_scan_blocks(
+                raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
+                self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
+                self._dtdot, carr_fftpts=self.carr_fftpts,
+                period=self.period, n_periods=self.S // self.period,
+                n_blocks=n, l_power=self.cfg.l_power,
+                interp=self.cfg.interp)
+            rows = np.asarray(out)                          # one fetch
+            pas = rows[:, 0].astype(np.int64)
+            pps = rows[:, 1]
+            vas = rows[:, 2].astype(np.int64)
+            vps = rows[:, 3]
+            flips = rows[:, 4:]
+
+            for i in range(n):
+                _, _, r_e2n, rx_time, mc, x_pred = preps[i]
+                self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
+                                        rx_time, mc, pps[i], vps[i],
+                                        flips[i], x_pred)
+            # steer channel frequencies from the batch-final state
+            self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+            self._update_channels_from_state()
+            done += n
         return self.fixes

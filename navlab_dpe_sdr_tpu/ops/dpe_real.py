@@ -1,0 +1,345 @@
+"""Real-arithmetic windowed DPE engine.
+
+Mathematically identical to ops.dpe (batch correlation + zero-padded carrier
+FFT + manifold scoring) but restricted to what the manifolds actually read:
+
+- code correlation evaluated only at CODE_WIN lags around each channel's
+  predicted center — via per-code-period folding (the C/A period is exactly
+  T_CA*fs samples) and a tiny [C, W, period] lag contraction, with an exact
+  boundary-arc correction for the nav-bit-flipped replica;
+- carrier spectrum evaluated only at CARR_WIN bins of the zero-padded DFT —
+  a two-stage (Cooley-Tukey style) windowed DFT as small matmuls with
+  integer-exact twiddle phases.
+
+Everything is float32/int32: no complex dtypes, no gathers, no full-length
+FFTs — immune to backend gaps in complex/gather support, and cheaper than
+the full-FFT path because the 99.9% of the correlation/spectrum the
+manifolds never read is never computed.
+
+Replica generation is a one-hot chip-lookup matmul over a single code
+period, tiled across the block (drift over 20 ms is < 0.1 chip and is
+centered by evaluating the code phase mid-block).
+
+Parity anchors: correlator.vector_correlate_unfolded (correlator.py:367-465),
+BatchCorrScores (batchcorrscores.cu:975-1207), BCM scoring
+(batchcorrmanifold.cu:1710-1963).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import F_CA, L_CA
+from .dpe import CARR_WIN, CODE_WIN, ManifoldParams, _interp_scores
+
+_SLIVER = 128  # samples around the nav-bit boundary handled exactly
+
+
+def _period_replicas(chips, base0, rc_mid):
+    """One-period +/-1 replicas via one-hot matmul (no gather).
+
+    chips: [C, 1023] f32; base0: [P0] = (arange(P0) * F_CA / fs) — the
+    nominal chip index per sample of one code period; rc_mid: [C] f32 code
+    phase (mid-block). Returns [C, P0] f32.
+    """
+    idx = jnp.mod(jnp.floor(base0[None, :] + rc_mid[:, None]),
+                  np.float32(L_CA))                       # [C, P0]
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1023), 2)
+    onehot = (idx[:, :, None] == k).astype(jnp.float32)   # [C, P0, 1023]
+    return jnp.einsum("cpk,ck->cp", onehot, chips,
+                      preferred_element_type=jnp.float32)
+
+
+def _lag_matrix(period_repl, m_signed):
+    """[C, W, P0] replica rows shifted by each window lag.
+
+    period_repl: [C, P0]; m_signed: [C, W] int32 signed lags. Row (c, l) is
+    p_c[(q - m) mod P0] over q.
+    """
+    p0 = period_repl.shape[1]
+    repl2 = jnp.concatenate([period_repl, period_repl], axis=1)  # [C, 2*P0]
+    start = jnp.mod(p0 - m_signed, p0)                    # [C, W]
+
+    def slice_cl(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (p0,))
+
+    return jax.vmap(jax.vmap(slice_cl, in_axes=(None, 0)),
+                    in_axes=(0, 0))(repl2, start)          # [C, W, P0]
+
+
+def _dft_twiddles(vel_start, f_total: int, s1_n: int, s0_n: int):
+    """Two-stage windowed-DFT twiddle tables with integer-exact phases.
+
+    Bin j of the (fftshifted) carrier window maps to DFT bin
+    k = (vel_start + j - F/2) mod F. Stage split: s = s0_n * s1 + s0.
+    Returns (a_cos, a_sin, b_cos, b_sin): [C, W, s1_n] and [C, W, s0_n].
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, CARR_WIN), 1)
+    k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2),
+                np.int32(f_total))                        # [C, W]
+
+    s1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s1_n), 2)
+    k256 = jnp.mod(k * np.int32(s0_n), np.int32(f_total))  # [C, W]
+    ph_a = jnp.mod(k256[:, :, None] * s1, np.int32(f_total)).astype(jnp.float32)
+    ang_a = ph_a * np.float32(2.0 * np.pi / f_total)
+
+    s0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s0_n), 2)
+    ph_b = jnp.mod(k[:, :, None] * s0, np.int32(f_total)).astype(jnp.float32)
+    ang_b = ph_b * np.float32(2.0 * np.pi / f_total)
+    return (jnp.cos(ang_a), jnp.sin(ang_a), jnp.cos(ang_b), jnp.sin(ang_b))
+
+
+class RealBlockOut(NamedTuple):
+    code_mag: jax.Array    # [C, CODE_WIN]
+    carr_mag: jax.Array    # [C, CARR_WIN]
+    flip_used: jax.Array   # [C]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("carr_fftpts", "period", "n_periods"))
+def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
+                       fi, ri, time_idc, pos_start, vel_start,
+                       carr_fftpts: int, period: int, n_periods: int
+                       ) -> RealBlockOut:
+    """Windowed code correlation + windowed carrier DFT (all-real).
+
+    raw_re/raw_im: [S]; chips: [C, 1023]; base0: [period] nominal chip
+    indices; rc_mid: [C] mid-block code phase; idx_next: [C] nav-bit flip
+    sample (S for none); fi/ri: [C]; pos_start/vel_start: [C] window origins
+    (fftshifted index space).
+    """
+    s = raw_re.shape[0]
+    c = chips.shape[0]
+
+    # carrier wipeoff (w = exp(-2pi i (fi t + ri)))
+    ang = 2.0 * jnp.pi * (fi[:, None] * time_idc[None, :] + ri[:, None])
+    wc, ws = jnp.cos(ang), jnp.sin(ang)
+    bb_re = raw_re[None, :] * wc + raw_im[None, :] * ws     # [C, S]
+    bb_im = raw_im[None, :] * wc - raw_re[None, :] * ws
+
+    # one-period replicas, tiled
+    p_repl = _period_replicas(chips, base0, rc_mid)         # [C, P0]
+    repl = jnp.tile(p_repl, (1, n_periods))                 # [C, S]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    tail = (cols >= idx_next[:, None]).astype(jnp.float32)  # [C, S]
+
+    # fold bb by code period: plain and tail-masked
+    def fold(x):
+        return jnp.sum(x.reshape(c, n_periods, period), axis=1)
+
+    fold_re = fold(bb_re)
+    fold_im = fold(bb_im)
+    # product terms for the flip correction: bb * tail
+    fold_tail_re = fold(bb_re * tail)
+    fold_tail_im = fold(bb_im * tail)
+
+    # window lags
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, CODE_WIN), 1)
+    m_signed = pos_start[:, None] + l - np.int32(s // 2)    # [C, W]
+    lag = _lag_matrix(p_repl, jnp.mod(m_signed, period))    # [C, W, P0]
+
+    def corr_with(fr, fi_):
+        re = jnp.einsum("cwp,cp->cw", lag, fr,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("cwp,cp->cw", lag, fi_,
+                        preferred_element_type=jnp.float32)
+        return re, im
+
+    nf_re, nf_im = corr_with(fold_re, fold_im)              # no-flip window
+    t_re, t_im = corr_with(fold_tail_re, fold_tail_im)      # tail part
+
+    # boundary-arc correction: the flip boundary in replica coordinates
+    # shifts by the lag m; handle the +/- _SLIVER samples around idx_next
+    # exactly. samples s in [idx_next + min(m), idx_next + max(m)) change
+    # their tail membership depending on m.
+    half = _SLIVER // 2
+    sl_start = jnp.clip(idx_next - half, 0, s - _SLIVER)    # [C]
+
+    def slice_c(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (_SLIVER,))
+
+    sliver_re = jax.vmap(slice_c)(bb_re, sl_start)          # [C, SLIVER]
+    sliver_im = jax.vmap(slice_c)(bb_im, sl_start)
+    sliver_pos = sl_start[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, _SLIVER), 1)                         # [C, SLIVER]
+
+    # membership with lag m: flipped iff (s - m) mod S >= idx_next; for
+    # |m| << S this is s >= idx_next + m away from the wrap.
+    in_tail_m = (sliver_pos[:, None, :]
+                 >= (idx_next[:, None] + m_signed)[:, :, None])  # [C, W, SL]
+    in_tail_0 = (sliver_pos >= idx_next[:, None])           # [C, SL]
+    delta = in_tail_m.astype(jnp.float32) - in_tail_0[:, None, :]
+
+    # lag-shifted replica over the sliver: the sliver samples are
+    # consecutive, so p_c[(q - m) mod P0] is a contiguous slice of the
+    # period-doubled replica starting at (sl_start - m) mod P0.
+    repl2 = jnp.concatenate([p_repl, p_repl], axis=1)       # [C, 2*P0]
+    sl_q0 = jnp.mod(sl_start[:, None] - m_signed, period)   # [C, W]
+
+    def slice_cw(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (_SLIVER,))
+
+    sliver_repl_m = jax.vmap(jax.vmap(slice_cw, in_axes=(None, 0)),
+                             in_axes=(0, 0))(repl2, sl_q0)  # [C, W, SLIVER]
+
+    corr_t_re = t_re + jnp.sum(
+        delta * sliver_re[:, None, :] * sliver_repl_m, axis=2)
+    corr_t_im = t_im + jnp.sum(
+        delta * sliver_im[:, None, :] * sliver_repl_m, axis=2)
+
+    fl_re = nf_re - 2.0 * corr_t_re                         # flip window
+    fl_im = nf_im - 2.0 * corr_t_im
+
+    # flip decision at lag 0 (reference: |corr[0]|, correlator.py:410)
+    c0nf_re = jnp.sum(bb_re * repl, axis=1)
+    c0nf_im = jnp.sum(bb_im * repl, axis=1)
+    flip_sign = 1.0 - 2.0 * tail
+    c0fl_re = jnp.sum(bb_re * repl * flip_sign, axis=1)
+    c0fl_im = jnp.sum(bb_im * repl * flip_sign, axis=1)
+    use_flip = (c0fl_re ** 2 + c0fl_im ** 2) > (c0nf_re ** 2 + c0nf_im ** 2)
+
+    w_re = jnp.where(use_flip[:, None], fl_re, nf_re)
+    w_im = jnp.where(use_flip[:, None], fl_im, nf_im)
+    code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
+
+    # ---- carrier windowed DFT --------------------------------------------
+    repl_chosen = jnp.where(use_flip[:, None], repl * flip_sign, repl)
+    mean_re = jnp.mean(raw_re)
+    mean_im = jnp.mean(raw_im)
+    y_base_re = (raw_re[None, :] - mean_re) * repl_chosen
+    y_base_im = (raw_im[None, :] - mean_im) * repl_chosen
+    y_re = y_base_re * wc + y_base_im * ws
+    y_im = y_base_im * wc - y_base_re * ws
+
+    s0_n = 256
+    s1_n = -(-s // s0_n)
+    pad = s1_n * s0_n - s
+    y_re_p = jnp.pad(y_re, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+    y_im_p = jnp.pad(y_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+
+    a_cos, a_sin, b_cos, b_sin = _dft_twiddles(vel_start, carr_fftpts,
+                                               s1_n, s0_n)
+    # stage 1: Z[c, w, s0] = sum_s1 y[s1, s0] * e^{-i ang_a(w, s1)}
+    z_re = (jnp.einsum("cws,cst->cwt", a_cos, y_re_p,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("cws,cst->cwt", a_sin, y_im_p,
+                         preferred_element_type=jnp.float32))
+    z_im = (jnp.einsum("cws,cst->cwt", a_cos, y_im_p,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("cws,cst->cwt", a_sin, y_re_p,
+                         preferred_element_type=jnp.float32))
+    # stage 2: X[c, w] = sum_s0 Z[c, w, s0] * e^{-i ang_b(w, s0)}
+    x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
+    x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
+    carr_mag = jnp.sqrt(x_re * x_re + x_im * x_im)
+
+    return RealBlockOut(code_mag=code_mag, carr_mag=carr_mag,
+                        flip_used=use_flip)
+
+
+@functools.partial(jax.jit, static_argnames=("l_power", "interp"))
+def score_manifolds_mag(code_mag, carr_mag, params: ManifoldParams,
+                        d_enu, dt_m, dv_enu, dtdot,
+                        l_power: int = 1, interp: str = "quadratic"):
+    """score_manifolds over magnitude windows (all-real)."""
+    u = jnp.einsum("gj,cj->cg", d_enu, params.los_enu,
+                   preferred_element_type=jnp.float32)
+    d2 = jnp.sum(d_enu * d_enu, axis=1)[None, :]
+    drange = -u + (d2 - u * u) / (2.0 * params.r0[:, None])
+    pos_idx = (params.pos_center[:, None]
+               + params.pos_coef[:, None] * (drange + dt_m[None, :]))
+    pos_scores = _interp_scores(code_mag, pos_idx, interp, l_power)
+
+    uv = jnp.einsum("gj,cj->cg", dv_enu, params.los_enu,
+                    preferred_element_type=jnp.float32)
+    vel_idx = (params.vel_center[:, None]
+               + params.vel_coef[:, None] * (-uv + dtdot[None, :]))
+    vel_scores = _interp_scores(carr_mag, vel_idx, interp, l_power)
+
+    return (pos_scores, jnp.argmax(pos_scores),
+            vel_scores, jnp.argmax(vel_scores))
+
+
+@functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
+                                             "n_periods", "l_power",
+                                             "interp"))
+def dpe_device_step_real(raw_re, raw_im, chips, base0, rc_mid, idx_next,
+                         fi, ri, time_idc, pos_start, vel_start,
+                         params: ManifoldParams,
+                         d_enu, dt_m, dv_enu, dtdot,
+                         carr_fftpts: int, period: int, n_periods: int,
+                         l_power: int = 1, interp: str = "quadratic"):
+    """Fused all-real DPE block step (windowed engine)."""
+    out = windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
+                             fi, ri, time_idc, pos_start, vel_start,
+                             carr_fftpts, period, n_periods)
+    pos_scores, pos_arg, vel_scores, vel_arg = score_manifolds_mag(
+        out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
+        l_power=l_power, interp=interp)
+    return (pos_scores, pos_arg, vel_scores, vel_arg, out.flip_used)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-block scan (deferred feedback).
+#
+# A remote/accelerator-attached host pays a fixed latency per host->device
+# transfer, so the per-block loop packs all per-channel parameters for N
+# blocks into two arrays, keeps the raw sample blocks device-resident, and
+# scans the fused step over the batch in ONE dispatch. Feedback (EKF
+# measurement -> channel steering) is applied at batch boundaries; within a
+# batch, predictions are propagated from the batch-start fix. The score
+# windows (+/-32 samples/bins) dwarf the sub-sample prediction drift a
+# static-to-dynamic receiver accumulates over a fraction of a second, so
+# accuracy is preserved (validated in tests against the per-block loop).
+# ---------------------------------------------------------------------------
+
+FPK_ROWS = 11  # rc_mid, fi, ri, los_e, los_n, los_u, r0, pos_c, pos_k, vel_c, vel_k
+IPK_ROWS = 3   # idx_next, pos_start, vel_start
+
+
+@functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
+                                             "n_periods", "n_blocks",
+                                             "l_power", "interp"))
+def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
+                    d_enu, dt_m, dv_enu, dtdot,
+                    carr_fftpts: int, period: int, n_periods: int,
+                    n_blocks: int, l_power: int = 1,
+                    interp: str = "quadratic"):
+    """Run n_blocks fused DPE steps in one dispatch.
+
+    raw_all_i16: [B, S, 2] int16 (device-resident capture); start: first
+    block index; fpk: [N, FPK_ROWS, C] float32; ipk: [N, IPK_ROWS, C] int32.
+    Returns (pos_arg [N], pos_peak [N], vel_arg [N], vel_peak [N],
+    flip [N, C]).
+    """
+
+    def one(i):
+        raw = jax.lax.dynamic_index_in_dim(raw_all_i16, start + i, 0,
+                                           keepdims=False)     # [S, 2]
+        raw_re = raw[:, 0].astype(jnp.float32)
+        raw_im = raw[:, 1].astype(jnp.float32)
+        f = fpk[i]
+        p = ipk[i]
+        params = ManifoldParams(
+            los_enu=f[3:6].T, r0=f[6], pos_center=f[7], pos_coef=f[8],
+            vel_center=f[9], vel_coef=f[10])
+        out = windowed_correlate(raw_re, raw_im, chips, base0, f[0], p[0],
+                                 f[1], f[2], time_idc, p[1], p[2],
+                                 carr_fftpts, period, n_periods)
+        ps, pa, vs_, va = score_manifolds_mag(
+            out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
+            l_power=l_power, interp=interp)
+        # pack into one float32 row so the host needs a single fetch
+        row = jnp.concatenate([
+            jnp.stack([pa.astype(jnp.float32), ps[pa],
+                       va.astype(jnp.float32), vs_[va]]),
+            out.flip_used.astype(jnp.float32)])
+        return row
+
+    return jax.lax.map(one, jnp.arange(n_blocks))   # [N, 4 + C]

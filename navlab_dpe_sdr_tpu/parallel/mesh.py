@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import dpe as dpe_ops
+from ..ops import dpe_real as dpe_real_ops
 
 
 def make_mesh(n_grid: int | None = None, n_chan: int = 1,
@@ -45,8 +46,41 @@ def shard_grid(mesh: Mesh, grid_arrays):
             jax.device_put(dv_enu, sh_mat), jax.device_put(dtdot, sh_vec))
 
 
+def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
+                          n_periods: int, l_power: int = 1):
+    """Multi-device fused step for the real windowed engine.
+
+    Channel-batched correlation shards over 'chan'; manifold scoring shards
+    over 'grid'; outputs are replicated.
+    """
+    chan_sh = NamedSharding(mesh, P("chan", None))
+    grid_vec = NamedSharding(mesh, P("grid"))
+    grid_mat = NamedSharding(mesh, P("grid", None))
+    repl_sh = NamedSharding(mesh, P())
+
+    def step(raw_re, raw_im, chips, base0, rc_mid, idx_next, fi, ri,
+             time_idc, pos_start, vel_start, params,
+             d_enu, dt_m, dv_enu, dtdot):
+        chips = jax.lax.with_sharding_constraint(chips, chan_sh)
+        d_enu = jax.lax.with_sharding_constraint(d_enu, grid_mat)
+        dt_m = jax.lax.with_sharding_constraint(dt_m, grid_vec)
+        dv_enu = jax.lax.with_sharding_constraint(dv_enu, grid_mat)
+        dtdot = jax.lax.with_sharding_constraint(dtdot, grid_vec)
+        out = dpe_real_ops.dpe_device_step_real(
+            raw_re, raw_im, chips, base0, rc_mid, idx_next, fi, ri,
+            time_idc, pos_start, vel_start, params,
+            d_enu, dt_m, dv_enu, dtdot,
+            carr_fftpts=carr_fftpts, period=period, n_periods=n_periods,
+            l_power=l_power)
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl_sh)
+            if x.ndim == 0 else x, out)
+
+    return jax.jit(step)
+
+
 def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1):
-    """Build the jitted multi-device DPE step for a given mesh.
+    """Build the jitted multi-device DPE step for a given mesh (FFT engine).
 
     Correlation FFTs shard over 'chan'; manifold scoring shards over 'grid';
     outputs (scalars + small vectors) are replicated.

@@ -1,0 +1,137 @@
+"""Equivalence tests: real-arithmetic windowed DPE engine vs full-FFT path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from navlab_dpe_sdr_tpu.constants import F_CA, F_L1, L_CA, T_CA
+from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+from navlab_dpe_sdr_tpu.io.synth import synth_simple
+from navlab_dpe_sdr_tpu.libgnss.cacode import ca_code
+from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+from navlab_dpe_sdr_tpu.models.grid import spread_grid
+from navlab_dpe_sdr_tpu.ops import dpe as dpe_ops
+from navlab_dpe_sdr_tpu.ops import dpe_real as dpe_real_ops
+
+FS = 2.5e6
+S = 50000
+PERIOD = 2500
+FPTS = 8 * (1 << 16)
+
+
+def _run_both(prn, rc, fi, idx_next_val, seed=0):
+    fc = F_CA + fi * F_CA / F_L1
+    sig = synth_simple(prn, FS, S, rc=rc, ri=0.3, fc=fc, fi=fi,
+                       cn0_dbhz=50.0, seed=seed).astype(np.complex64)
+    t32 = jnp.asarray((np.arange(S) / FS).astype(np.float32))
+    pos_start = np.array([S // 2 - dpe_ops.CODE_WIN // 2], np.int32)
+    vel_start = np.array([FPTS // 2 - dpe_ops.CARR_WIN // 2], np.int32)
+
+    # complex/FFT path
+    chips = ca_code(prn)[None, :]
+    cf0 = jnp.asarray(dpe_ops.nominal_code_fft(chips, FS, S))
+    m_int, m_frac = dpe_ops.replica_shift_parts(
+        np.array([rc]), np.array([fc - F_CA]), FS, S / FS, S)
+    scores = dpe_ops.batch_correlate(
+        jnp.asarray(sig), cf0, jnp.asarray(m_int), jnp.asarray(m_frac),
+        jnp.asarray([np.int32(idx_next_val)]),
+        jnp.asarray([np.float32(fi)]), jnp.asarray([np.float32(0.3)]),
+        t32, FPTS)
+    cw, vw, _, _ = dpe_ops.extract_windows(scores, pos_start + 32,
+                                           vel_start + 32)
+    fft_code = np.abs(np.asarray(cw))[0]
+    fft_carr = np.abs(np.asarray(vw))[0]
+
+    # real windowed path
+    rc_mid = np.mod(rc + (fc - F_CA) * (S / FS / 2.0), L_CA)
+    base0 = jnp.asarray((np.arange(PERIOD) / FS * F_CA).astype(np.float32))
+    out = dpe_real_ops.windowed_correlate(
+        jnp.asarray(sig.real.astype(np.float32)),
+        jnp.asarray(sig.imag.astype(np.float32)),
+        jnp.asarray(chips.astype(np.float32)), base0,
+        jnp.asarray([np.float32(rc_mid)]),
+        jnp.asarray([np.int32(idx_next_val)]),
+        jnp.asarray([np.float32(fi)]), jnp.asarray([np.float32(0.3)]),
+        t32, jnp.asarray(pos_start), jnp.asarray(vel_start),
+        FPTS, PERIOD, S // PERIOD)
+    real_code = np.asarray(out.code_mag)[0]
+    real_carr = np.asarray(out.carr_mag)[0]
+    return fft_code, fft_carr, real_code, real_carr, bool(np.asarray(out.flip_used)[0])
+
+
+def test_real_engine_windows_match_fft():
+    fft_code, fft_carr, real_code, real_carr, _ = _run_both(
+        9, rc=400.25, fi=1500.0, idx_next_val=S)
+    # peak positions identical
+    assert abs(int(np.argmax(fft_code)) - int(np.argmax(real_code))) <= 1
+    assert abs(int(np.argmax(fft_carr)) - int(np.argmax(real_carr))) <= 1
+    # peak magnitudes agree (replica models differ slightly: fractional
+    # bandlimited shift vs nearest-chip tiling)
+    assert abs(fft_code.max() - real_code.max()) / fft_code.max() < 0.10
+    assert abs(fft_carr.max() - real_carr.max()) / fft_carr.max() < 0.10
+    # full window shapes correlate strongly
+    cc = np.corrcoef(fft_code, real_code)[0, 1]
+    assert cc > 0.98, cc
+    cv = np.corrcoef(fft_carr, real_carr)[0, 1]
+    assert cv > 0.98, cv
+
+
+def test_real_engine_flip_matches():
+    # signal with a nav-bit flip at code period 20
+    prn, rc, fi = 6, 250.0, 300.0
+    fc = F_CA + fi * F_CA / F_L1
+    bits = np.ones(60)
+    bits[1:] = -1.0
+    sig = synth_simple(prn, FS, S, rc=rc, fc=fc, fi=fi, cn0_dbhz=50.0,
+                       bits=bits, seed=3).astype(np.complex64)
+    idx_next = int(np.floor((20 * L_CA - rc) * FS / fc)) + 1
+
+    chips = ca_code(prn)[None, :]
+    base0 = jnp.asarray((np.arange(PERIOD) / FS * F_CA).astype(np.float32))
+    t32 = jnp.asarray((np.arange(S) / FS).astype(np.float32))
+    pos_start = np.array([S // 2 - 32], np.int32)
+    vel_start = np.array([FPTS // 2 - 32], np.int32)
+    rc_mid = np.mod(rc + (fc - F_CA) * 0.01, L_CA)
+    out = dpe_real_ops.windowed_correlate(
+        jnp.asarray(sig.real.astype(np.float32)),
+        jnp.asarray(sig.imag.astype(np.float32)),
+        jnp.asarray(chips.astype(np.float32)), base0,
+        jnp.asarray([np.float32(rc_mid)]),
+        jnp.asarray([np.int32(idx_next)]),
+        jnp.asarray([np.float32(fi)]), jnp.asarray([np.float32(0.0)]),
+        t32, jnp.asarray(pos_start), jnp.asarray(vel_start),
+        FPTS, PERIOD, S // PERIOD)
+    assert bool(np.asarray(out.flip_used)[0])
+    mag = np.asarray(out.code_mag)[0]
+    peak = int(np.argmax(mag))
+    assert abs(peak - 32) <= 1.5
+    # flipped correlation recovers nearly full coherent amplitude
+    assert mag[peak] > 0.8 * 32 * np.sqrt(10 ** 5.0 / FS) * S
+
+
+def test_real_engine_dpe_converges():
+    """Full receiver with the real engine converges like the FFT engine."""
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 8
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3],
+                                          np.array([40.0, -55.0, 25.0]))
+    errs = {}
+    for engine in ("real", "fft"):
+        import copy
+        rf = SampleFile(samples=samples.copy(), fs=FS)
+        rx = DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                         config=DPEConfig(engine=engine),
+                         eph=copy.deepcopy(arr))
+        fixes = rx.run(8)
+        errs[engine] = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+                        for f in fixes]
+    assert np.median(errs["real"][-3:]) < 15.0, errs["real"]
+    assert np.median(errs["fft"][-3:]) < 15.0, errs["fft"]
