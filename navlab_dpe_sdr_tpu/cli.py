@@ -1,0 +1,255 @@
+"""Command-line interface.
+
+Replaces the reference's two control surfaces — PyGNSS's setting.py-driven
+scripts (0/1/2/3_Data_reduct*.py) and CUDARecv's interactive console
+(newflow/loadflow/setparam/startflow, cmdFlow.cpp:21-31) — with subcommands:
+
+  synth     generate a synthetic IF capture + matching handoff (test fixture)
+  acquire   coarse+fine acquisition report for a capture
+  track     scalar pipeline: acquire -> track -> decode -> PVT -> handoff
+  dpe       DPE block loop from a handoff (per-block or batched)
+  bench     the performance benchmark
+
+`--set key=value` provides setparam-style overrides of the DPE config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _parse_set(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return out
+
+
+def cmd_synth(args):
+    from .io.handoff import write_handoff
+    from .io.scenario import make_scenario
+
+    sim, hand, arr = make_scenario(n_sats=args.sats, cn0_dbhz=args.cn0,
+                                   fs=args.fs, seed=args.seed)
+    print(f"synthesizing {args.seconds}s at {args.fs / 1e6} MHz, "
+          f"PRNs {hand.prn_list} ...")
+    sim.write_capture(args.out, args.seconds)
+    if args.handoff:
+        write_handoff(args.handoff, hand)
+        print(f"wrote handoff to {args.handoff}")
+    print(f"wrote {args.out}")
+
+
+def cmd_acquire(args):
+    from .io.rawfile import SampleFile
+    from .ops.acquisition import acquire
+
+    rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
+    rf.seek(int(args.skip * args.fs))
+    rf.set_block(0.01, 0.01, verbose=False)
+    block = rf.read_block()
+    prns = ([int(p) for p in args.prns.split(",")] if args.prns
+            else list(range(1, 33)))
+    results = acquire(block, prns, rf.fs, rf.fcaid,
+                      coherent=not args.noncoherent)
+    print(f"{'PRN':>4} {'found':>6} {'rc[chips]':>10} {'fi[Hz]':>9} "
+          f"{'cppm':>6} {'cppr':>6}")
+    for r in sorted(results, key=lambda r: -r.cppm):
+        print(f"{r.prn:4d} {str(r.found):>6} {r.rc:10.2f} {r.fi:9.1f} "
+              f"{r.cppm:6.2f} {r.cppr:6.2f}")
+
+
+def cmd_track(args):
+    from .io.rawfile import SampleFile
+    from .models.scalar import ScalarReceiver
+
+    rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
+    rf.seek(int(args.skip * args.fs))
+    prns = [int(p) for p in args.prns.split(",")]
+    rx = ScalarReceiver(rf, prns)
+    rx.acquire()
+    n_ms = int(args.seconds * 1000)
+    print(f"tracking {args.seconds}s ...")
+    rx.track(n_ms)
+    good = rx.decode_ephemerides()
+    if args.rinex:
+        from .libgnss import rinex as rinex_mod
+        missing = [p for p in prns if p not in good]
+        if missing:
+            print(f"filling ephemerides for {missing} from {args.rinex}")
+            rx.set_ephemerides(rinex_mod.load_ephemerides(
+                args.rinex, missing))
+    rx_time_a, rx_time, x_ecef, x_eci, sats = rx.nav_solution()
+    from .libgnss import frames
+    lla = frames.ecef_to_lla(x_ecef[:3])
+    print(f"fix: ECEF {x_ecef[:3]}  LLA {lla[0]:.6f},{lla[1]:.6f},{lla[2]:.1f}")
+    if args.handoff:
+        rx.save_handoff(args.handoff)
+        print(f"wrote handoff to {args.handoff}")
+    if args.checkpoint:
+        rx.save_state(args.checkpoint)
+        print(f"wrote checkpoint to {args.checkpoint}")
+
+
+def cmd_dpe(args):
+    from .io.handoff import read_handoff
+    from .io.printer import FixWriter
+    from .io.rawfile import SampleFile
+    from .models.dpe import DPEConfig, DPEReceiver
+    from .models.grid import load_grid_csv, make_grid
+    from .runtime.flow import FlowRunner
+
+    hand = read_handoff(args.handoff)
+    rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
+
+    overrides = _parse_set(args.set)
+    cfg = DPEConfig(**{k: v for k, v in overrides.items()
+                       if k in DPEConfig.__dataclass_fields__})
+    if args.grid_csv:
+        grid = load_grid_csv(args.grid_csv)
+    else:
+        grid = make_grid(args.grid)
+    eph = None
+    if args.rinex:
+        from .libgnss import rinex as rinex_mod
+        from .libgnss.ephemeris import EphArray
+        table = rinex_mod.load_ephemerides(args.rinex, hand.prn_list,
+                                           tow=hand.rx_time)
+        for i, prn in enumerate(hand.prn_list):
+            table[prn].tow_timestamp = hand.tow[i]
+            table[prn].cp_timestamp = hand.cp_timestamp[i]
+        eph = EphArray([table[p] for p in hand.prn_list])
+
+    rx = DPEReceiver(rf, hand, grid=grid, config=cfg, eph=eph)
+    n_blocks = args.blocks
+
+    writer = FixWriter(args.out, weekno=args.weekno) if args.out else None
+
+    def on_fix(fix):
+        if writer:
+            writer.write(fix)
+        if args.verbose:
+            from .libgnss import frames
+            lla = frames.ecef_to_lla(fix.x_ecef[:3])
+            print(f"{fix.mc:5d} {lla[0]:.6f} {lla[1]:.6f} {lla[2]:8.2f} "
+                  f"score {fix.pos_score:.3e}")
+
+    if args.batched:
+        rx.run_batched(n_blocks, lookahead=args.lookahead)
+        if writer:
+            for f in rx.fixes:
+                writer.write(f)
+    else:
+        runner = FlowRunner(rx.step, watchdog_s=args.watchdog,
+                            max_iterations=n_blocks,
+                            realtime_budget_s=rx.cfg.T)
+        stats = runner.run(n_blocks, on_result=on_fix)
+        print(stats.summary())
+        print(f"real-time misses (> {rx.cfg.T * 1e3:.0f} ms): "
+              f"{runner.realtime_misses}")
+    if writer:
+        writer.close()
+    if rx.fixes:
+        last = rx.fixes[-1]
+        print(f"final fix: {last.x_ecef[:3]}")
+
+
+def cmd_bench(args):
+    import subprocess
+    subprocess.run([sys.executable, "bench.py", str(args.blocks)])
+
+
+def _select_device(choice: str, default_cpu: bool):
+    """Pin the JAX backend. Env vars are pre-empted in some environments, so
+    use the config API (must run before backend initialization)."""
+    import jax
+    if choice == "cpu" or (choice == "auto" and default_cpu):
+        jax.config.update("jax_platforms", "cpu")
+    # "tpu"/"auto" otherwise: leave the platform default (TPU when present)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="navlab_dpe_sdr_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="JAX backend. auto = CPU for acquire/track (their "
+                        "kernels use FFT/gather features some TPU backends "
+                        "lack), platform default for dpe/bench")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate synthetic capture + handoff")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--handoff")
+    ps.add_argument("--seconds", type=float, default=10.0)
+    ps.add_argument("--fs", type=float, default=2.5e6)
+    ps.add_argument("--sats", type=int, default=8)
+    ps.add_argument("--cn0", type=float, default=47.0)
+    ps.add_argument("--seed", type=int, default=7)
+    ps.set_defaults(fn=cmd_synth)
+
+    pa = sub.add_parser("acquire", help="acquisition report")
+    pa.add_argument("file")
+    pa.add_argument("--fs", type=float, default=2.5e6)
+    pa.add_argument("--ds", type=float, default=1.0)
+    pa.add_argument("--skip", type=float, default=0.0, help="seconds to skip")
+    pa.add_argument("--prns", help="comma list; default 1-32")
+    pa.add_argument("--noncoherent", action="store_true")
+    pa.set_defaults(fn=cmd_acquire)
+
+    pt = sub.add_parser("track", help="scalar pipeline -> handoff")
+    pt.add_argument("file")
+    pt.add_argument("--fs", type=float, default=2.5e6)
+    pt.add_argument("--ds", type=float, default=1.0)
+    pt.add_argument("--skip", type=float, default=0.0)
+    pt.add_argument("--prns", required=True)
+    pt.add_argument("--seconds", type=float, default=36.0)
+    pt.add_argument("--rinex", help="RINEX nav fallback for undecoded PRNs")
+    pt.add_argument("--handoff", help="write handoff CSV here")
+    pt.add_argument("--checkpoint", help="write receiver checkpoint dir")
+    pt.set_defaults(fn=cmd_track)
+
+    pd = sub.add_parser("dpe", help="DPE block loop from a handoff")
+    pd.add_argument("file")
+    pd.add_argument("--handoff", required=True)
+    pd.add_argument("--rinex", help="take ephemerides from RINEX")
+    pd.add_argument("--fs", type=float, default=2.5e6)
+    pd.add_argument("--ds", type=float, default=1.0)
+    pd.add_argument("--blocks", type=int, default=1500)
+    pd.add_argument("--grid", default="spread",
+                    choices=["spread", "uniform", "arthur"])
+    pd.add_argument("--grid-csv", help="custom ENU grid CSV (rngrid3-style)")
+    pd.add_argument("--out", help="nav CSV output")
+    pd.add_argument("--weekno", type=int, default=2008)
+    pd.add_argument("--batched", action="store_true",
+                    help="high-throughput batched mode")
+    pd.add_argument("--lookahead", type=int, default=25)
+    pd.add_argument("--watchdog", type=float, default=1.5)
+    pd.add_argument("--verbose", action="store_true")
+    pd.add_argument("--set", action="append", metavar="KEY=VALUE",
+                    help="DPEConfig overrides (setparam-style)")
+    pd.set_defaults(fn=cmd_dpe)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.add_argument("--blocks", type=int, default=100)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    _select_device(args.device, default_cpu=args.fn in (cmd_acquire, cmd_track))
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -209,3 +209,73 @@ class ScalarReceiver:
         if path:
             write_handoff(path, h)
         return h
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_state(self, dirname: str):
+        """Full receiver checkpoint: measurement logs + tracking carry.
+
+        Unlike the reference (.mat logs that drop loop-filter history,
+        receiver.py:880-882), the complete TrackState is saved so resumed
+        tracking is bit-identical.
+        """
+        import os
+        import scipy.io as sio
+
+        os.makedirs(dirname, exist_ok=True)
+        rec = {
+            "prn_list": np.array(self.prn_list),
+            "mcount": self.mcount,
+            "m_samp": np.array(self._m_samp, dtype=np.int64),
+            "fs": self.rawfile.fs,
+            "sample_pos": self.rawfile.sample_pos,
+        }
+        if self.state is not None:
+            for name, val in self.state._asdict().items():
+                rec["state_" + name] = np.asarray(val)
+        sio.savemat(os.path.join(dirname, "receiver.mat"), rec)
+
+        for prn in self.prn_list:
+            ch = self.channels[prn]
+            d = {"log_" + k: ch.col(k) for k in LOG_FIELDS}
+            d["cp_sign"] = ch.cp_sign
+            if ch.ephemeris is not None:
+                for fld in ALL_FIELDS + ("IODE", "IODC", "tow_timestamp",
+                                         "cp_timestamp"):
+                    d["eph_" + fld] = getattr(ch.ephemeris, fld)
+            sio.savemat(os.path.join(dirname, f"channel_{prn}.mat"), d)
+
+    def load_state(self, dirname: str):
+        """Restore a checkpoint written by save_state and reposition the
+        sample file so tracking resumes at the exact next block."""
+        import os
+        import scipy.io as sio
+
+        from ..libgnss.ephemeris import Ephemeris
+        from ..ops.tracking import TrackState
+
+        rec = sio.loadmat(os.path.join(dirname, "receiver.mat"))
+        assert list(rec["prn_list"].ravel()) == self.prn_list
+        self.mcount = int(rec["mcount"].ravel()[0])
+        self._m_samp = list(rec["m_samp"].ravel())
+        self.rawfile.seek(int(rec["sample_pos"].ravel()[0]), whence=0)
+
+        import jax.numpy as jnp
+        fields = {}
+        for name in TrackState._fields:
+            fields[name] = jnp.asarray(rec["state_" + name])
+        self.state = TrackState(**fields)
+
+        for prn in self.prn_list:
+            d = sio.loadmat(os.path.join(dirname, f"channel_{prn}.mat"))
+            ch = self.channels[prn]
+            ch.data = {k: [d["log_" + k].ravel()] for k in LOG_FIELDS}
+            ch.cp_sign = d["cp_sign"].ravel()
+            if "eph_sqrt_A" in d:
+                e = Ephemeris(prn=prn)
+                for fld in ALL_FIELDS + ("tow_timestamp", "cp_timestamp"):
+                    setattr(e, fld, float(d["eph_" + fld].ravel()[0]))
+                e.IODE = int(d["eph_IODE"].ravel()[0])
+                e.IODC = int(d["eph_IODC"].ravel()[0])
+                e.complete = True
+                ch.ephemeris = e

@@ -1,0 +1,145 @@
+// Double-ended sample streamer: a producer thread reads fixed-size blocks
+// from a capture file into a ring of buffers; the consumer (Python) pops
+// blocks with a timeout. Equivalent of CUDARecv's SampleBlock
+// (sampleblock.cu:307-515): N-deep ring, producer/consumer semaphores,
+// fail-fast 1.5 s timeout, clean EOF drain. Host buffers only — the device
+// copy is the Python side's job (jax device_put), since the TPU path has no
+// CUDA-style pinned-pointer interface.
+//
+// C ABI for ctypes. Build: make -C navlab_dpe_sdr_tpu/runtime/native
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+#include <pthread.h>
+
+namespace {
+
+struct Ring {
+    FILE* fo = nullptr;
+    long block_bytes = 0;
+    int n_buffers = 0;
+    char* storage = nullptr;     // n_buffers * block_bytes
+    long* fill = nullptr;        // bytes valid per slot
+    int head = 0;                // next slot to consume
+    int tail = 0;                // next slot to fill
+    int count = 0;               // filled slots
+    bool eof = false;
+    bool stop = false;
+    double timeout_s = 1.5;      // reference watchdog (sampleblock.cu:432)
+    pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
+    pthread_cond_t can_fill = PTHREAD_COND_INITIALIZER;
+    pthread_cond_t can_pop = PTHREAD_COND_INITIALIZER;
+    pthread_t reader;
+};
+
+void deadline(timespec* ts, double dt) {
+    clock_gettime(CLOCK_REALTIME, ts);
+    long ns = ts->tv_nsec + (long)(dt * 1e9);
+    ts->tv_sec += ns / 1000000000L;
+    ts->tv_nsec = ns % 1000000000L;
+}
+
+void* reader_main(void* arg) {
+    Ring* r = static_cast<Ring*>(arg);
+    for (;;) {
+        pthread_mutex_lock(&r->mu);
+        while (r->count == r->n_buffers && !r->stop)
+            pthread_cond_wait(&r->can_fill, &r->mu);
+        if (r->stop) { pthread_mutex_unlock(&r->mu); return nullptr; }
+        int slot = r->tail;
+        pthread_mutex_unlock(&r->mu);
+
+        long got = (long)fread(r->storage + (size_t)slot * r->block_bytes, 1,
+                               r->block_bytes, r->fo);
+
+        pthread_mutex_lock(&r->mu);
+        r->fill[slot] = got;
+        r->tail = (r->tail + 1) % r->n_buffers;
+        r->count++;
+        if (got < r->block_bytes) r->eof = true;
+        pthread_cond_signal(&r->can_pop);
+        bool done = r->eof || r->stop;
+        pthread_mutex_unlock(&r->mu);
+        if (done) return nullptr;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sr_open(const char* path, long block_bytes, int n_buffers,
+              long start_byte, double timeout_s) {
+    FILE* fo = fopen(path, "rb");
+    if (!fo) return nullptr;
+    if (start_byte > 0 && fseek(fo, start_byte, SEEK_SET) != 0) {
+        fclose(fo);
+        return nullptr;
+    }
+    Ring* r = new Ring();
+    r->fo = fo;
+    r->block_bytes = block_bytes;
+    r->n_buffers = n_buffers;
+    r->timeout_s = timeout_s > 0 ? timeout_s : 1.5;
+    r->storage = (char*)malloc((size_t)block_bytes * n_buffers);
+    r->fill = (long*)calloc(n_buffers, sizeof(long));
+    if (!r->storage || !r->fill ||
+        pthread_create(&r->reader, nullptr, reader_main, r) != 0) {
+        fclose(fo);
+        free(r->storage);
+        free(r->fill);
+        delete r;
+        return nullptr;
+    }
+    return r;
+}
+
+// Pop the next block into dst. Returns bytes copied (may be < block_bytes at
+// EOF), 0 on clean EOF, -1 on timeout (watchdog).
+long sr_next(void* h, void* dst) {
+    Ring* r = static_cast<Ring*>(h);
+    timespec ts;
+    deadline(&ts, r->timeout_s);
+    pthread_mutex_lock(&r->mu);
+    while (r->count == 0) {
+        if (r->eof || r->stop) { pthread_mutex_unlock(&r->mu); return 0; }
+        if (pthread_cond_timedwait(&r->can_pop, &r->mu, &ts) != 0) {
+            pthread_mutex_unlock(&r->mu);
+            return -1;  // fail-fast: flow should crash (README.md:108)
+        }
+    }
+    int slot = r->head;
+    long got = r->fill[slot];
+    memcpy(dst, r->storage + (size_t)slot * r->block_bytes, (size_t)got);
+    r->head = (r->head + 1) % r->n_buffers;
+    r->count--;
+    pthread_cond_signal(&r->can_fill);
+    pthread_mutex_unlock(&r->mu);
+    return got;
+}
+
+int sr_depth(void* h) {
+    Ring* r = static_cast<Ring*>(h);
+    pthread_mutex_lock(&r->mu);
+    int c = r->count;
+    pthread_mutex_unlock(&r->mu);
+    return c;
+}
+
+void sr_close(void* h) {
+    Ring* r = static_cast<Ring*>(h);
+    pthread_mutex_lock(&r->mu);
+    r->stop = true;
+    pthread_cond_broadcast(&r->can_fill);
+    pthread_cond_broadcast(&r->can_pop);
+    pthread_mutex_unlock(&r->mu);
+    pthread_join(r->reader, nullptr);
+    fclose(r->fo);
+    free(r->storage);
+    free(r->fill);
+    delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,99 @@
+"""Native runtime (sample streamer, async logger) + flow runner tests."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from navlab_dpe_sdr_tpu.runtime.flow import FlowRunner, FlowStats, WatchdogError
+
+try:
+    from navlab_dpe_sdr_tpu.runtime.nativelib import (AsyncLogger,
+                                                      SampleStream, load)
+    load()
+    HAVE_NATIVE = True
+except Exception:
+    HAVE_NATIVE = False
+
+needs_native = pytest.mark.skipif(not HAVE_NATIVE,
+                                  reason="native runtime unavailable")
+
+
+@needs_native
+def test_sample_stream_reads_blocks(tmp_path):
+    s = 5000
+    n_blocks = 17
+    data = np.arange(n_blocks * s * 2, dtype=np.int16)
+    path = tmp_path / "cap.dat"
+    data.tofile(path)
+
+    with SampleStream(str(path), block_samples=s, n_buffers=4) as st:
+        for b in range(n_blocks):
+            blk = st.next_block()
+            assert blk is not None and blk.shape == (s, 2)
+            expect = data[b * s * 2:(b + 1) * s * 2].reshape(s, 2)
+            np.testing.assert_array_equal(blk, expect)
+        assert st.next_block() is None  # clean EOF
+
+
+@needs_native
+def test_sample_stream_start_byte(tmp_path):
+    s = 1000
+    data = np.arange(10 * s * 2, dtype=np.int16)
+    path = tmp_path / "cap.dat"
+    data.tofile(path)
+    with SampleStream(str(path), block_samples=s, n_buffers=2,
+                      start_byte=3 * s * 4) as st:
+        blk = st.next_block()
+        np.testing.assert_array_equal(
+            blk, data[3 * s * 2:4 * s * 2].reshape(s, 2))
+
+
+@needs_native
+def test_async_logger_roundtrip(tmp_path):
+    path = tmp_path / "log.csv"
+    rows = np.random.default_rng(0).standard_normal((50, 6))
+    with AsyncLogger(str(path), n_cols=6, depth=8) as lg:
+        for r in rows:
+            lg.write(r)
+    back = np.loadtxt(path, delimiter=",")
+    np.testing.assert_allclose(back, rows, rtol=1e-10)
+
+
+def test_flow_runner_stats_and_cap():
+    calls = []
+
+    def step():
+        calls.append(1)
+        time.sleep(0.001)
+        return len(calls)
+
+    runner = FlowRunner(step, watchdog_s=1.0, max_iterations=5)
+    stats = runner.run(100)
+    assert stats.n == 5
+    assert stats.min_s > 0
+    assert "iterations" in stats.summary()
+
+
+def test_flow_runner_watchdog():
+    def slow():
+        time.sleep(0.05)
+
+    runner = FlowRunner(slow, watchdog_s=0.01)
+    with pytest.raises(WatchdogError):
+        runner.run(3)
+
+
+def test_flow_runner_eof_stops():
+    n = [0]
+
+    def step():
+        n[0] += 1
+        if n[0] > 3:
+            raise EOFError
+        return n[0]
+
+    runner = FlowRunner(step, watchdog_s=None)
+    stats = runner.run()
+    assert stats.n == 3
