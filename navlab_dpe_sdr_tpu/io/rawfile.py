@@ -25,8 +25,40 @@ DTYPE_IQ16 = np.dtype([("i", np.int16), ("q", np.int16)])
 DTYPE_ARG_PI4 = np.dtype([("arg_pi4", np.int8)])
 
 
+def parse_metafile(metafile: str, rawfile_name: str):
+    """Read capture settings from a metafile (reference rawfile.py:39-87).
+
+    Format: per capture, a `...=<filename>` line followed by lines whose
+    values (fs, fi, ds, datatype, notes) start at fixed offsets.
+    """
+    import os.path
+
+    with open(metafile) as fo:
+        lines = fo.read().splitlines()
+    for i, line in enumerate(lines):
+        name = line[line.find("=") + 1:].strip()
+        if name == rawfile_name:
+            abspath = os.path.join(os.path.dirname(metafile), name)
+            fs = float(lines[i + 1][5:])
+            fi = float(lines[i + 2][5:])
+            ds = float(lines[i + 3][5:])
+            dt_text = lines[i + 4][11:].strip()
+            datatype = (DTYPE_ARG_PI4 if "arg_pi4" in dt_text
+                        else DTYPE_IQ16)
+            notes = lines[i + 5][8:] if i + 5 < len(lines) else ""
+            return dict(path=abspath, fs=fs, fi=fi, ds=ds,
+                        datatype=datatype, notes=notes)
+    raise KeyError(f"{rawfile_name} not found in {metafile}")
+
+
 class SampleFile:
     """Block reader over a raw IF capture file (or an in-memory array)."""
+
+    @classmethod
+    def from_metafile(cls, metafile: str, rawfile_name: str) -> "SampleFile":
+        cfg = parse_metafile(metafile, rawfile_name)
+        cfg.pop("notes", None)
+        return cls(**cfg)
 
     def __init__(self, path: str | None = None, fs: float = 2.5e6,
                  fi: float = 0.0, ds: float = 1.0,
