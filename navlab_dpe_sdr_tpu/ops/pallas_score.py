@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: fused manifold scoring.
+
+Scores G grid candidates against per-channel score windows in one pass:
+per grid tile, the kernel computes each channel's fractional window index
+(LOS projection + quadratic range correction + clock offset), builds the
+interpolation weights in VMEM, and contracts them against the window
+magnitudes on the MXU — the [TILE, W] weight tensor never touches HBM.
+
+The XLA path (ops.dpe._interp_scores) materializes those weights per chunk
+in HBM; at the reference's dense-grid cap (2 * 75^4 ~ 63M points,
+batchcorrmanifold.h:17) that is ~16 GB of traffic per manifold, while this
+kernel streams only the [8, G] candidate coordinates.
+
+Inputs are packed lane-friendly:
+  cand:   [8, G] float32 — rows 0-2 ENU offset (m), row 3 clock offset (m),
+          rows 4-7 zero padding.
+  win:    [C, 128] float32 — window magnitudes (W = 64 data + zero pad).
+  params: [8, C] float32 — rows: los_e, los_n, los_u, r0, center, coef,
+          pad, pad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 2048
+WPAD = 128   # padded window width (lane dimension)
+
+
+def _score_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
+                  quad_range: bool):
+    cand = cand_ref[:]                      # [8, TILE]
+    win = win_ref[:]                        # [C, WPAD]
+    par = par_ref[:]                        # [8, C]
+
+    d2 = (cand[0] * cand[0] + cand[1] * cand[1]
+          + cand[2] * cand[2])              # [TILE]
+    dt = cand[3]
+
+    acc = jnp.zeros((TILE,), jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (TILE, WPAD), 1).astype(jnp.float32)
+    for c in range(n_chan):
+        u = (par[0, c] * cand[0] + par[1, c] * cand[1]
+             + par[2, c] * cand[2])         # [TILE]
+        if quad_range:
+            drange = -u + (d2 - u * u) * (0.5 / par[3, c])
+        else:
+            drange = -u
+        idx = par[4, c] + par[5, c] * (drange + dt)    # [TILE]
+
+        # 3-point Lagrange weights about k0 = round(idx)
+        k0 = jnp.clip(jnp.round(idx), 1.0, WPAD - 2.0)
+        d = (idx - k0)[:, None]             # [TILE, 1]
+        srel = k - k0[:, None]              # [TILE, WPAD]
+        w_m1 = 0.5 * (d * d - d)
+        w_0 = 1.0 - d * d
+        w_p1 = 0.5 * (d * d + d)
+        wgt = (jnp.where(srel == -1.0, w_m1, 0.0)
+               + jnp.where(srel == 0.0, w_0, 0.0)
+               + jnp.where(srel == 1.0, w_p1, 0.0))    # [TILE, WPAD]
+
+        vals = jax.lax.dot_general(
+            wgt, win[c][:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [TILE, 1]
+        acc = acc + vals[:, 0]
+
+    out_ref[:] = acc[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chan", "quad_range",
+                                             "interpret"))
+def score_manifold_pallas(cand: jax.Array, win: jax.Array,
+                          params: jax.Array, n_chan: int = 8,
+                          quad_range: bool = True,
+                          interpret: bool = False) -> jax.Array:
+    """Scores [G] for packed candidates/windows/params (see module doc)."""
+    g = cand.shape[1]
+    n_tiles = -(-g // TILE)
+    pad = n_tiles * TILE - g
+    cand_p = jnp.pad(cand, ((0, 0), (0, pad)))
+
+    out = pl.pallas_call(
+        functools.partial(_score_kernel, n_chan=n_chan,
+                          quad_range=quad_range),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win.shape[0], WPAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TILE), jnp.float32),
+        interpret=interpret,
+    )(cand_p, win, params)
+    return out[0, :g]
+
+
+def pack_pos_inputs(d_enu, dt_m, win_mag, los_enu, r0, center, coef):
+    """Pack position-manifold arrays for score_manifold_pallas (numpy ok)."""
+    g = d_enu.shape[0]
+    c = win_mag.shape[0]
+    cand = np.zeros((8, g), np.float32)
+    cand[0:3] = np.asarray(d_enu, np.float32).T
+    cand[3] = np.asarray(dt_m, np.float32)
+    win = np.zeros((c, WPAD), np.float32)
+    win[:, :win_mag.shape[1]] = np.asarray(win_mag, np.float32)
+    par = np.zeros((8, c), np.float32)
+    par[0:3] = np.asarray(los_enu, np.float32).T
+    par[3] = np.asarray(r0, np.float32)
+    par[4] = np.asarray(center, np.float32)
+    par[5] = np.asarray(coef, np.float32)
+    return cand, win, par
+
+
+def pack_vel_inputs(dv_enu, dtdot, win_mag, los_enu, center, coef):
+    """Velocity manifold: index = center + coef * (-los.dv + dtdot) — the
+    same kernel with the quadratic range term disabled (quad_range=False):
+    drange = -u = -los.dv."""
+    g = dv_enu.shape[0]
+    c = win_mag.shape[0]
+    cand = np.zeros((8, g), np.float32)
+    cand[0:3] = np.asarray(dv_enu, np.float32).T
+    cand[3] = np.asarray(dtdot, np.float32)
+    win = np.zeros((c, WPAD), np.float32)
+    win[:, :win_mag.shape[1]] = np.asarray(win_mag, np.float32)
+    par = np.zeros((8, c), np.float32)
+    par[0:3] = np.asarray(los_enu, np.float32).T
+    par[3] = 1.0
+    par[4] = np.asarray(center, np.float32)
+    par[5] = np.asarray(coef, np.float32)
+    return cand, win, par
