@@ -282,3 +282,47 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
         return st3, log
 
     return jax.lax.scan(body, state, raw_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
+    """Open-loop E/P/L correlation over consecutive 1 ms windows.
+
+    Channels are steered externally (vector tracking / EKF): no
+    discriminators or loop filters run; phases propagate at the commanded
+    rates. Returns per-step correlator outputs.
+
+    rc/dfc/ri/fi: [C] float32 initial phases & rates (dfc = fc - F_CA);
+    raw_chunk: [steps, S] complex64.
+    Parity: the correlation half of channel.scalar_correlation with the
+    vt steering of receiver.vt_track (receiver.py:579-591).
+    """
+    s = raw_chunk.shape[1]
+    time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
+
+    class _Carry(NamedTuple):
+        rc: jax.Array
+        ri: jax.Array
+
+    def body(carry, raw):
+        st = TrackState(
+            rc=carry.rc, dfc=dfc, ri=carry.ri, fi=fi,
+            dfc_bias=dfc, fi_bias=fi, cp=jnp.zeros_like(rc, jnp.int32),
+            p_a=jnp.zeros(rc.shape, jnp.complex64),
+            lf_code_h=jnp.zeros_like(rc), lf_carr_h=jnp.zeros_like(rc),
+            lock_i=jnp.zeros_like(rc), lock_q=jnp.zeros_like(rc),
+            losscount=jnp.zeros_like(rc, jnp.int32),
+            lockcount=jnp.zeros_like(rc, jnp.int32),
+            lock=jnp.zeros_like(rc, jnp.int32),
+            snr_z=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
+            snr_v=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
+            snr_fill=jnp.zeros_like(rc, jnp.int32))
+        e_s, p_s, l_s, ncp = _correlate_step(st, raw, code_table, time_idc,
+                                             fs)
+        e_r, p_r, l_r, signs, _ = _polarity_combine(st, e_s, p_s, l_s, ncp)
+        rc_new = jnp.mod(carry.rc + dfc * np.float32(T_MS), np.float32(L_CA))
+        ri_new = jnp.mod(carry.ri + fi * np.float32(T_MS), 1.0)
+        return _Carry(rc=rc_new, ri=ri_new), (e_r, p_r, l_r)
+
+    _, (e, p, l) = jax.lax.scan(body, _Carry(rc=rc, ri=ri), raw_chunk)
+    return e, p, l   # each [steps, C] complex64
