@@ -114,7 +114,10 @@ def cmd_dpe(args):
     hand = read_handoff(args.handoff)
     rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
 
-    overrides = _parse_set(args.set)
+    overrides = {}
+    if args.config:
+        overrides.update(json.load(open(args.config)))
+    overrides.update(_parse_set(args.set))
     cfg = DPEConfig(**{k: v for k, v in overrides.items()
                        if k in DPEConfig.__dataclass_fields__})
     if args.grid_csv:
@@ -240,6 +243,7 @@ def main(argv=None):
     pd.add_argument("--verbose", action="store_true")
     pd.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="DPEConfig overrides (setparam-style)")
+    pd.add_argument("--config", help="JSON file of DPEConfig fields")
     pd.set_defaults(fn=cmd_dpe)
 
     pb = sub.add_parser("bench", help="run the benchmark")

@@ -1,0 +1,79 @@
+"""TCP sample source: stream int16 I/Q blocks from a socket.
+
+The reference's SampleBlock has a (shipped but unused) TCP mode for live
+sample delivery (sampleblock.cu:134-156). This is the working equivalent: a
+client that connects to a sample server and yields fixed-size blocks, plus a
+file-backed server for tests/replay.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import numpy as np
+
+
+class TcpSampleSource:
+    """Blocking block reader over a TCP byte stream of int16 I/Q samples."""
+
+    def __init__(self, host: str, port: int, block_samples: int,
+                 timeout_s: float = 1.5):
+        self.block_samples = block_samples
+        self.block_bytes = block_samples * 4
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        self.sock.settimeout(timeout_s)
+
+    def next_block(self) -> np.ndarray | None:
+        """Next [S, 2] int16 block; None on clean EOF; TimeoutError on
+        watchdog expiry (reference 1.5 s fail-fast)."""
+        buf = bytearray()
+        while len(buf) < self.block_bytes:
+            try:
+                chunk = self.sock.recv(self.block_bytes - len(buf))
+            except socket.timeout:
+                raise TimeoutError("TCP sample stream stalled")
+            if not chunk:
+                return None if not buf else None
+            buf.extend(chunk)
+        return np.frombuffer(bytes(buf), dtype=np.int16).reshape(
+            self.block_samples, 2)
+
+    def close(self):
+        self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FileReplayServer:
+    """Serve a capture file over TCP (test/replay harness)."""
+
+    def __init__(self, path: str, port: int = 0, chunk_bytes: int = 65536):
+        self.path = path
+        self.chunk_bytes = chunk_bytes
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", port))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        try:
+            with open(self.path, "rb") as fo:
+                while True:
+                    chunk = fo.read(self.chunk_bytes)
+                    if not chunk:
+                        break
+                    conn.sendall(chunk)
+        finally:
+            conn.close()
+            self._srv.close()
+
+    def join(self):
+        self._thread.join()

@@ -57,6 +57,9 @@ class DPEConfig:
     engine: str = "real"             # "real" = gather/complex-free windowed
                                      # engine; "fft" = full-FFT path
     doppler_sign: float = 1.0
+    dump_scores_to: str | None = None  # per-block grid-score dump (npz) —
+                                       # space-expensive, like the reference's
+                                       # guarded CSV dump (bcm.cu:2612-2629)
 
 
 class DPEReceiver:
@@ -117,6 +120,20 @@ class DPEReceiver:
         self.flip_log: list[np.ndarray] = []
 
     # -- host-side f64 helpers --------------------------------------------
+
+    def _advance_gap(self):
+        """Propagate state across the duty-cycle skip T_big - T
+        (reference receiver.dp_time_update_state + channel.scalar_time_shift,
+        receiver.py:227-241, channel.py:158-171)."""
+        t_skip = self.rawfile.T_skip
+        if t_skip <= 0:
+            return
+        adv = self.rc + self.fc * t_skip
+        self.cp += np.floor(adv / L_CA)
+        self.rc = np.mod(adv, L_CA)
+        self.ri = np.mod(self.ri + self.fi * t_skip, 1.0)
+        self.rx_time += t_skip
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
 
     def _idx_next_bit(self) -> np.ndarray:
         """First sample of the next nav bit; S (=no flip) if out of window.
@@ -206,6 +223,7 @@ class DPEReceiver:
         if raw_block is None:
             if rf.S_skip:
                 rf.skip_gap()
+                self._advance_gap()
             raw_block = rf.read_block()
         # 1. time update
         self.ekf.time_update()
@@ -306,6 +324,9 @@ class DPEReceiver:
         # 6. back-calculate channel frequencies from the updated state
         self._update_channels_from_state()
 
+        if self.cfg.dump_scores_to:
+            np.savez(f"{self.cfg.dump_scores_to}/scores_{self.mc:06d}.npz",
+                     pos=np.asarray(pos_scores), vel=np.asarray(vel_scores))
         self.flip_log.append(np.asarray(flip_used))
         fix = DPEFix(mc=self.mc, rx_time=self.rx_time,
                      rx_time_a=self.rx_time_a, x_ecef=self.ekf.x.copy(),

@@ -279,3 +279,38 @@ class ScalarReceiver:
                 e.IODC = int(d["eph_IODC"].ravel()[0])
                 e.complete = True
                 ch.ephemeris = e
+
+    def get_nms_correlation(self, prn: int, ms: int, n: int):
+        """Bit-synchronized E/P/L sums over the last n 1 ms correlations
+        ending at measurement ms: segments between nav-bit boundaries are
+        sign-aligned before use (reference channel.get_Nms_correlation,
+        channel.py:344-422).
+
+        Returns (iE, iP, iL, qE, qP, qL) arrays of length n with polarity
+        unified across bit boundaries.
+        """
+        ch = self.channels[prn]
+        if ch.ephemeris is None:
+            raise ValueError("ephemeris anchor (cp_timestamp) required")
+        cp = ch.col("cp")[ms - n:ms]
+        cp_idc = np.mod(cp - ch.ephemeris.cp_timestamp, 20)
+        bd_idc = np.where(np.diff(cp_idc) < 0)[0]
+        assert len(bd_idc) <= 2, f"{len(bd_idc)} bit boundaries in {n} ms"
+
+        cols = {k: ch.col(k)[ms - n:ms].copy()
+                for k in ("iE", "iP", "iL", "qE", "qP", "qL")}
+        combined = (cols["iE"] + cols["iP"] + cols["iL"]
+                    + 1j * (cols["qE"] + cols["qP"] + cols["qL"]))
+
+        bounds = [0] + [int(b) + 1 for b in bd_idc] + [n]
+        ref_sum = np.sum(combined[bounds[0]:bounds[1]])
+        for k in range(1, len(bounds) - 1):
+            seg = slice(bounds[k], bounds[k + 1])
+            seg_sum = np.sum(combined[seg])
+            if abs(ref_sum + seg_sum) < abs(ref_sum - seg_sum):
+                for name in cols:
+                    cols[name][seg] = -cols[name][seg]
+                seg_sum = -seg_sum
+            ref_sum = ref_sum + seg_sum
+        return (cols["iE"], cols["iP"], cols["iL"],
+                cols["qE"], cols["qP"], cols["qL"])

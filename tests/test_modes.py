@@ -1,0 +1,135 @@
+"""Coverage of secondary modes: TCP source, weighted estimator, full EKF,
+duty-cycled windows, arg_pi4 format, Nms bit folding, grid variants."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from navlab_dpe_sdr_tpu.constants import F_CA, F_L1, L_CA
+from navlab_dpe_sdr_tpu.io.netsource import FileReplayServer, TcpSampleSource
+from navlab_dpe_sdr_tpu.io.rawfile import (DTYPE_ARG_PI4, DTYPE_IQ16,
+                                           SampleFile)
+from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+from navlab_dpe_sdr_tpu.models.grid import (arthur_grid, load_grid_csv,
+                                            make_grid, uniform_grid)
+
+FS = 2.5e6
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 14
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    return samples, hand, arr
+
+
+def test_tcp_sample_source(tmp_path, scene):
+    samples, hand, arr = scene
+    path = tmp_path / "cap.dat"
+    samples[:50000 * 3].tofile(path)
+    srv = FileReplayServer(str(path))
+    with TcpSampleSource("127.0.0.1", srv.port, block_samples=50000) as src:
+        for _ in range(3):
+            blk = src.next_block()
+            assert blk is not None and blk.shape == (50000, 2)
+        assert src.next_block() is None
+    srv.join()
+    # content check on first block
+    first = samples[:50000]
+    np.testing.assert_array_equal(
+        np.stack([first["i"], first["q"]], axis=1),
+        np.frombuffer(path.read_bytes()[:200000], np.int16).reshape(50000, 2))
+
+
+def test_weighted_mean_estimator(scene):
+    samples, hand, arr = scene
+    rf = SampleFile(samples=samples.copy(), fs=FS)
+    cfg = DPEConfig(use_argmax=False)   # reference receiver.py:254-320
+    rx = DPEReceiver(rf, copy.deepcopy(hand), config=cfg,
+                     eph=copy.deepcopy(arr))
+    fixes = rx.run(6)
+    errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]) for f in fixes]
+    # the score-weighted mean is biased toward the grid centroid but must
+    # stay in the neighborhood
+    assert np.median(errs) < 40.0, errs
+
+
+def test_full_ekf_mode(scene):
+    samples, hand, arr = scene
+    rf = SampleFile(samples=samples.copy(), fs=FS)
+    cfg = DPEConfig(ekf_mode="full")
+    rx = DPEReceiver(rf, copy.deepcopy(hand), config=cfg,
+                     eph=copy.deepcopy(arr))
+    fixes = rx.run(10)
+    errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]) for f in fixes]
+    assert np.median(errs[3:]) < 20.0, errs
+    # covariance contracts from the identity prior
+    assert np.trace(rx.ekf.P) < 8.0
+
+
+def test_duty_cycled_dpe(scene):
+    """T_big > T: process 20 ms out of every 40 ms (rawfile.py:176-182)."""
+    samples, hand, arr = scene
+    rf = SampleFile(samples=samples.copy(), fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand), eph=copy.deepcopy(arr),
+                     config=DPEConfig(T=0.02))
+    rf.set_block(0.02, 0.04, verbose=False)
+    fixes = rx.run(5)   # consumes 5 * 40 ms
+    errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]) for f in fixes]
+    assert np.median(errs) < 25.0, errs
+    assert rf.sample_pos == hand.bytes_read // 4 + 5 * int(0.04 * FS)
+
+
+def test_arg_pi4_format(tmp_path):
+    """Phase-quantized byte capture format (rawfile.py:152-154)."""
+    rng = np.random.default_rng(0)
+    phases = rng.integers(-4, 4, 10000).astype(np.int8)
+    arr = np.empty(10000, DTYPE_ARG_PI4)
+    arr["arg_pi4"] = phases
+    p = tmp_path / "p.dat"
+    arr.tofile(p)
+    rf = SampleFile(str(p), fs=2.5e6, datatype=DTYPE_ARG_PI4)
+    rf.set_block(0.001, 0.001, verbose=False)
+    blk = rf.read_block()
+    np.testing.assert_allclose(
+        blk[:10], np.exp(1j * phases[:10] * np.pi / 4.0), rtol=1e-12)
+
+
+def test_nms_correlation_folding(scene):
+    from navlab_dpe_sdr_tpu.models.scalar import ScalarReceiver
+    samples, hand, arr = scene
+    rf = SampleFile(samples=samples.copy(), fs=FS)
+    rx = ScalarReceiver(rf, hand.prn_list)
+    rx.acquire(verbose=False)
+    rx.track(120)
+    rx.set_ephemerides({e.prn: e for e in arr.ephs})
+    prn = hand.prn_list[0]
+    iE, iP, iL, qE, qP, qL = rx.get_nms_correlation(prn, ms=120, n=40)
+    assert iP.shape == (40,)
+    # after folding, the prompt signs must be consistent (no bit flips left)
+    strong = np.abs(iP) > 3 * np.median(np.abs(qP))
+    assert np.all(np.sign(iP[strong]) == np.sign(iP[strong][0]))
+
+
+def test_grid_variants_and_csv(tmp_path):
+    g1 = make_grid("uniform", n=9)
+    assert g1.n_pos == 9 ** 4
+    g2 = arthur_grid(n=9, pos_spacing=2.0)
+    assert g2.n_pos == 9 ** 4
+    # border spacing 3x the interior
+    ax = np.unique(g2.d_enu[:, 0])
+    d = np.diff(ax)
+    assert d.max() > 2.5 * d.min()
+
+    rows = np.random.default_rng(1).standard_normal((100, 3)) * 50
+    p = tmp_path / "grid.csv"
+    np.savetxt(p, rows, delimiter=",")
+    g3 = load_grid_csv(str(p))
+    assert g3.n_pos == 100
+    np.testing.assert_allclose(g3.d_enu, rows, rtol=1e-12)
