@@ -54,7 +54,7 @@ def main():
     raw_dev = jnp.asarray(all_blocks)
     jax.block_until_ready(raw_dev)
 
-    lookahead = 25
+    lookahead = 50
     rx.run_batched(lookahead, lookahead=lookahead, raw_blocks_dev=raw_dev,
                    start_block=0)
     warmup = lookahead

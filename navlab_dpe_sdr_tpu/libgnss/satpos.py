@@ -23,8 +23,13 @@ def correct_week_crossover(t):
     return np.where(t < -HALF_WEEK, t + SEC_PER_WEEK, t)
 
 
-def _ecc_anomaly(M, e, iters: int = 10):
-    """Newton-solve Kepler's equation M = E - e sin E (vectorized)."""
+def _ecc_anomaly(M, e, iters: int = 5):
+    """Newton-solve Kepler's equation M = E - e sin E (vectorized).
+
+    GPS eccentricities are < 0.03; Newton from E0 = M converges to <1e-15
+    within 4 iterations (quadratic), so 5 matches the reference's
+    10-iteration-with-early-exit loop (satpos.py:53-59) at half the host
+    cost."""
     E = np.mod(M, 2.0 * PI)
     for _ in range(iters):
         f = M - E + e * np.sin(E)

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..constants import C, F_CA, F_L1, L_CA, T_CA
 from ..libgnss import frames, naveng, satpos
+from ..libgnss.satcache import SatStateCache
 from ..libgnss.cacode import ca_table
 from ..libgnss.ephemeris import EphArray
 from ..io.handoff import Handoff
@@ -57,6 +58,8 @@ class DPEConfig:
     engine: str = "real"             # "real" = gather/complex-free windowed
                                      # engine; "fft" = full-FFT path
     doppler_sign: float = 1.0
+    use_sat_cache: bool = True       # Hermite-interpolated satellite states
+                                     # (satpos.cu design) for host prep
     dump_scores_to: str | None = None  # per-block grid-score dump (npz) —
                                        # space-expensive, like the reference's
                                        # guarded CSV dump (bcm.cu:2612-2629)
@@ -118,6 +121,7 @@ class DPEReceiver:
         self.mc = 0
         self.fixes: list[DPEFix] = []
         self.flip_log: list[np.ndarray] = []
+        self._sat_cache: SatStateCache | None = None
 
     # -- host-side f64 helpers --------------------------------------------
 
@@ -161,9 +165,7 @@ class DPEReceiver:
 
         t_tx = (self.eph.tow_timestamp
                 + T_CA * (cp_pred - self.eph.cp_timestamp) + rc_pred / F_CA)
-        clkb, clkd = satpos.sat_clock_correction(self.eph, t_tx)
-        sats_ecef = satpos.sat_state(self.eph, t_tx - clkb, clkb, clkd)
-        t_tx_c = t_tx - clkb
+        sats_ecef, t_tx_c = self._sat_states(t_tx)
         sats_eci = frames.ecef_to_eci_batch(sats_ecef, t_tx_c,
                                             self.rx_time_a)
 
@@ -178,10 +180,26 @@ class DPEReceiver:
         self.rc = np.mod(bc_rc, L_CA)
         self.ri = np.mod(self.ri + self.fi * T, 1.0)
 
+    def _sat_states(self, t_tx):
+        """Clock-corrected satellite ECEF states + corrected tx times at
+        nominal (satellite-clock) transmit times t_tx. Cached Hermite
+        interpolation by default (satpos.cu precompute design)."""
+        if self.cfg.use_sat_cache:
+            if self._sat_cache is None:
+                self._sat_cache = SatStateCache(self.eph, float(np.min(t_tx)))
+            s8 = self._sat_cache.state_at(t_tx)
+            return s8, t_tx - s8[3]
+        clkb, clkd = satpos.sat_clock_correction(self.eph, t_tx)
+        s8 = satpos.sat_state(self.eph, t_tx - clkb, clkb, clkd)
+        return s8, t_tx - clkb
+
     def _sats_now(self):
         """Satellite ECI states at the current (cp, rc) epoch."""
-        return naveng.satellite_positions(self.cp, self.rc, self.eph,
-                                          t_c=self.rx_time_a)
+        t_tx = naveng.transmit_times(self.cp, self.rc, self.eph)
+        sats_ecef, t_tx_c = self._sat_states(t_tx)
+        sats_eci = frames.ecef_to_eci_batch(sats_ecef, t_tx_c,
+                                            self.rx_time_a)
+        return sats_eci, t_tx_c
 
     def _manifold_params(self, sats_eci):
         """Per-channel float64 scoring centers -> float32 device params."""
