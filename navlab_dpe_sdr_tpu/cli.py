@@ -138,6 +138,13 @@ def cmd_dpe(args):
     rx = DPEReceiver(rf, hand, grid=grid, config=cfg, eph=eph)
     n_blocks = args.blocks
 
+    profile_ctx = None
+    if args.profile_dir:
+        import contextlib
+        import jax
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+
     writer = FixWriter(args.out, weekno=args.weekno) if args.out else None
 
     def on_fix(fix):
@@ -162,11 +169,43 @@ def cmd_dpe(args):
         print(stats.summary())
         print(f"real-time misses (> {rx.cfg.T * 1e3:.0f} ms): "
               f"{runner.realtime_misses}")
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     if writer:
         writer.close()
     if rx.fixes:
         last = rx.fixes[-1]
         print(f"final fix: {last.x_ecef[:3]}")
+
+
+def cmd_vt(args):
+    from .io.rawfile import SampleFile
+    from .models.scalar import ScalarReceiver
+    from .models.vector import VectorReceiver
+
+    rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
+    rf.seek(int(args.skip * args.fs))
+    prns = [int(p) for p in args.prns.split(",")]
+    rx = ScalarReceiver(rf, prns)
+    rx.acquire(verbose=False)
+    print(f"scalar pull-in {args.pullin}s ...")
+    rx.track(int(args.pullin * 1000))
+    if args.rinex:
+        from .libgnss import rinex as rinex_mod
+        rx.set_ephemerides(rinex_mod.load_ephemerides(args.rinex, prns))
+    else:
+        rx.decode_ephemerides(verbose=False)
+    vt = VectorReceiver.from_scalar(rx)
+    print(f"vector tracking {args.epochs} epochs ...")
+    vt.run(args.epochs)
+    from .libgnss import frames
+    lla = frames.ecef_to_lla(vt.x[:3])
+    print(f"final fix: {vt.x[:3]}  LLA {lla[0]:.6f},{lla[1]:.6f},{lla[2]:.1f}")
+
+
+def cmd_console(args):
+    from .console import Console
+    Console().cmdloop()
 
 
 def cmd_bench(args):
@@ -244,14 +283,32 @@ def main(argv=None):
     pd.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="DPEConfig overrides (setparam-style)")
     pd.add_argument("--config", help="JSON file of DPEConfig fields")
+    pd.add_argument("--profile-dir",
+                    help="capture a jax profiler trace into this directory")
     pd.set_defaults(fn=cmd_dpe)
+
+    pv = sub.add_parser("vt", help="vector tracking from scalar pull-in")
+    pv.add_argument("file")
+    pv.add_argument("--fs", type=float, default=2.5e6)
+    pv.add_argument("--ds", type=float, default=1.0)
+    pv.add_argument("--skip", type=float, default=0.0)
+    pv.add_argument("--prns", required=True)
+    pv.add_argument("--pullin", type=float, default=1.0,
+                    help="seconds of scalar tracking before VT")
+    pv.add_argument("--rinex", help="ephemerides from RINEX instead of decode")
+    pv.add_argument("--epochs", type=int, default=100)
+    pv.set_defaults(fn=cmd_vt)
+
+    pc = sub.add_parser("console", help="interactive flow console")
+    pc.set_defaults(fn=cmd_console)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--blocks", type=int, default=100)
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    _select_device(args.device, default_cpu=args.fn in (cmd_acquire, cmd_track))
+    _select_device(args.device,
+                   default_cpu=args.fn in (cmd_acquire, cmd_track, cmd_vt))
     return args.fn(args)
 
 
