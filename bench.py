@@ -61,7 +61,7 @@ def main():
 
     t0 = time.perf_counter()
     rx.run_batched(n_blocks, lookahead=lookahead, raw_blocks_dev=raw_dev,
-                   start_block=warmup)
+                   start_block=warmup, pipeline=True)
     wall = time.perf_counter() - t0
 
     errs = [float(np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]))

@@ -440,8 +440,48 @@ class DPEReceiver:
         self.fixes.append(fix)
         return fix
 
+    def _dispatch_batch(self, n, raw_blocks_dev, start_block, done):
+        rf = self.rawfile
+        preps = [self._prepare_block() for _ in range(n)]
+        fpk = jnp.asarray(np.stack([p[0] for p in preps]))      # [N, 11, C]
+        ipk = jnp.asarray(np.stack([p[1] for p in preps]))      # [N, 3, C]
+
+        if raw_blocks_dev is None:
+            blocks = np.stack([rf.read_block_raw() for _ in range(n)])
+            raw_dev = jnp.asarray(blocks)                       # [N, S, 2]
+            start = 0
+        else:
+            raw_dev = raw_blocks_dev
+            start = start_block + done
+
+        out = dpe_real_ops.dpe_scan_blocks(
+            raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
+            self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
+            self._dtdot, carr_fftpts=self.carr_fftpts,
+            period=self.period, n_periods=self.S // self.period,
+            n_blocks=n, l_power=self.cfg.l_power,
+            interp=self.cfg.interp)
+        return out, preps
+
+    def _drain_batch(self, out, preps):
+        rows = np.asarray(out)                                  # one fetch
+        pas = rows[:, 0].astype(np.int64)
+        pps = rows[:, 1]
+        vas = rows[:, 2].astype(np.int64)
+        vps = rows[:, 3]
+        flips = rows[:, 4:]
+        for i in range(len(preps)):
+            _, _, r_e2n, rx_time, mc, x_pred = preps[i]
+            self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
+                                    rx_time, mc, pps[i], vps[i],
+                                    flips[i], x_pred)
+        # steer channel frequencies from the newest state at the current epoch
+        self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+        self._update_channels_from_state()
+
     def run_batched(self, n_blocks: int, lookahead: int = 25,
-                    raw_blocks_dev=None, start_block: int = 0):
+                    raw_blocks_dev=None, start_block: int = 0,
+                    pipeline: bool = False):
         """High-throughput mode: N blocks per device dispatch.
 
         Per batch: two packed parameter uploads + one fused scan dispatch +
@@ -449,48 +489,28 @@ class DPEReceiver:
         batch-start fix (windows tolerate the sub-sample drift); EKF
         measurements and channel steering are applied at batch boundaries.
 
+        pipeline=True overlaps host preparation of batch k+1 with device
+        execution of batch k (dispatch is asynchronous) at the cost of one
+        extra batch of prediction staleness.
+
         raw_blocks_dev: optional device-resident int16 capture [B, S, 2]
         covering blocks start_block..; if None, blocks are read from the
         SampleFile and uploaded per batch.
         """
         assert self.cfg.engine == "real", "batched mode uses the real engine"
-        rf = self.rawfile
         done = 0
+        pending = None
         while done < n_blocks:
             n = min(lookahead, n_blocks - done)
-            preps = [self._prepare_block() for _ in range(n)]
-            fpk = jnp.asarray(np.stack([p[0] for p in preps]))  # [N, 11, C]
-            ipk = jnp.asarray(np.stack([p[1] for p in preps]))  # [N, 3, C]
-
-            if raw_blocks_dev is None:
-                blocks = np.stack([rf.read_block_raw() for _ in range(n)])
-                raw_dev = jnp.asarray(blocks)                   # [N, S, 2]
-                start = 0
-            else:
-                raw_dev = raw_blocks_dev
-                start = start_block + done
-
-            out = dpe_real_ops.dpe_scan_blocks(
-                raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
-                self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
-                self._dtdot, carr_fftpts=self.carr_fftpts,
-                period=self.period, n_periods=self.S // self.period,
-                n_blocks=n, l_power=self.cfg.l_power,
-                interp=self.cfg.interp)
-            rows = np.asarray(out)                          # one fetch
-            pas = rows[:, 0].astype(np.int64)
-            pps = rows[:, 1]
-            vas = rows[:, 2].astype(np.int64)
-            vps = rows[:, 3]
-            flips = rows[:, 4:]
-
-            for i in range(n):
-                _, _, r_e2n, rx_time, mc, x_pred = preps[i]
-                self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
-                                        rx_time, mc, pps[i], vps[i],
-                                        flips[i], x_pred)
-            # steer channel frequencies from the batch-final state
-            self.rx_time_a = self.rx_time - self.ekf.x[3] / C
-            self._update_channels_from_state()
+            out, preps = self._dispatch_batch(n, raw_blocks_dev,
+                                              start_block, done)
             done += n
+            if pipeline:
+                if pending is not None:
+                    self._drain_batch(*pending)
+                pending = (out, preps)
+            else:
+                self._drain_batch(out, preps)
+        if pending is not None:
+            self._drain_batch(*pending)
         return self.fixes

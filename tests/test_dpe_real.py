@@ -135,3 +135,26 @@ def test_real_engine_dpe_converges():
                         for f in fixes]
     assert np.median(errs["real"][-3:]) < 15.0, errs["real"]
     assert np.median(errs["fft"][-3:]) < 15.0, errs["fft"]
+
+
+def test_pipelined_batched_accuracy():
+    """pipeline=True (one extra batch of prediction staleness) must converge
+    like the synchronous batched mode."""
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 18
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3],
+                                          np.array([30.0, -40.0, 15.0]))
+    import copy
+    rf = SampleFile(samples=samples, fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    rx.run_batched(18, lookahead=6, pipeline=True)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx.fixes]
+    assert np.median(errs[-6:]) < 20.0, [round(e, 1) for e in errs]
