@@ -123,9 +123,12 @@ class VectorReceiver:
             jnp.asarray(self.ri.astype(np.float32)),
             jnp.asarray(self.fi.astype(np.float32)),
             jnp.asarray(raw), self.code_table, rf.fs)
-        e = np.asarray(e)
+        e = np.asarray(e)          # [n, C, 2] (re, im)
         p = np.asarray(p)
-        l = np.asarray(l)          # [n, C] complex
+        l = np.asarray(l)
+        e = e[..., 0] + 1j * e[..., 1]
+        p = p[..., 0] + 1j * p[..., 1]
+        l = l[..., 0] + 1j * l[..., 1]
 
         # bit-fold: align per-ms correlations by prompt sign before summing
         sgn = np.sign(p.real) + (p.real == 0)

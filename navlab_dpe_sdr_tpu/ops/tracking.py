@@ -49,7 +49,8 @@ class TrackState(NamedTuple):
     dfc_bias: jax.Array  # fc_bias (loop-filter operating point)
     fi_bias: jax.Array
     cp: jax.Array        # completed code periods (int32)
-    p_a: jax.Array       # carried partial prompt correlation (complex64)
+    p_a_re: jax.Array    # carried partial prompt correlation (re/im)
+    p_a_im: jax.Array
     lf_code_h: jax.Array  # bilinear integrator accumulators
     lf_carr_h: jax.Array
     lock_i: jax.Array    # lock detector LPF states
@@ -100,7 +101,7 @@ def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
         dfc_bias=jnp.asarray(dfc.astype(np.float32)),
         fi_bias=jnp.asarray(fi),
         cp=jnp.asarray(izeros if cp is None else np.asarray(cp, np.int32)),
-        p_a=jnp.zeros(c, jnp.complex64),
+        p_a_re=jnp.asarray(zeros), p_a_im=jnp.asarray(zeros),
         lf_code_h=jnp.asarray(zeros), lf_carr_h=jnp.asarray(zeros),
         lock_i=jnp.asarray(zeros), lock_q=jnp.asarray(zeros),
         losscount=jnp.asarray(izeros), lockcount=jnp.asarray(izeros),
@@ -111,47 +112,74 @@ def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
     )
 
 
-def _correlate_step(state: TrackState, raw: jax.Array, code_table: jax.Array,
-                    time_idc: jax.Array, fs: float):
+def _chips_onehot(code_table: jax.Array, base: jax.Array,
+                  phase: jax.Array) -> jax.Array:
+    """Gather-free chip lookup: chips[floor(base + phase) mod 1023].
+
+    code_table: [C, 1023]; base: [S] nominal chip index; phase: [C] chips.
+    One-hot matmul (MXU) — usable on backends without XLA gather, and the
+    contraction shape the MXU likes anyway.
+    """
+    idx = jnp.mod(jnp.floor(base[None, :] + phase[:, None]),
+                  np.float32(L_CA))                        # [C, S]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1023), 2).astype(jnp.float32)
+    onehot = (idx[:, :, None] == k).astype(jnp.float32)
+    return jnp.einsum("csk,ck->cs", onehot, code_table,
+                      preferred_element_type=jnp.float32)
+
+
+def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
+                    code_table: jax.Array, time_idc: jax.Array, fs: float):
     """E/P/L correlation of one 1 ms window for all channels.
 
-    raw: [S] complex64 (shared across channels); code_table: [C, 1023] f32.
-    Returns segment sums e_s/p_s/l_s: [C, 3] complex64 and ncp [C] int32.
+    raw_re/raw_im: [S] float32 (shared across channels);
+    code_table: [C, 1023] f32. Returns segment sums as (re, im) pairs
+    e_s/p_s/l_s: [C, 3, 2] float32 and ncp [C] int32. All-real: runs on
+    backends without complex64 support.
+
+    Gather-free: the window is exactly one code period at the nominal rate,
+    so replicas come from a one-hot chip lookup at the mid-window phase
+    (within-window drift dfc*T < 4e-3 chips, far below discriminator noise)
+    and segment membership is an arithmetic sample-index threshold.
     """
-    s = raw.shape[0]
-    # carrier wipeoff [C, S]
-    ph = state.fi[:, None] * time_idc[None, :] + state.ri[:, None]
-    bb = raw[None, :] * jnp.exp(-2j * jnp.pi * ph)
+    s = raw_re.shape[0]
+    # carrier wipeoff (w = exp(-2pi i(fi t + ri))), all-real arithmetic
+    ang = 2.0 * jnp.pi * (state.fi[:, None] * time_idc[None, :]
+                          + state.ri[:, None])
+    wc, ws = jnp.cos(ang), jnp.sin(ang)
+    bb_re = raw_re[None, :] * wc + raw_im[None, :] * ws
+    bb_im = raw_im[None, :] * wc - raw_re[None, :] * ws
 
-    # code phase trajectory: fidc = t*F_CA + (t*dfc + rc)
     base = time_idc * np.float32(F_CA)                     # [S]
-    fidc = base[None, :] + (time_idc[None, :] * state.dfc[:, None]
-                            + state.rc[:, None])           # [C, S]
+    rc_mid = state.rc + state.dfc * np.float32(0.5e-3)
+    early = _chips_onehot(code_table, base, rc_mid + 0.5)
+    prompt = _chips_onehot(code_table, base, rc_mid)
+    late = _chips_onehot(code_table, base, rc_mid - 0.5)
 
-    def chips_at(offset):
-        idx = jnp.mod(jnp.floor(fidc + offset), np.float32(L_CA)).astype(jnp.int32)
-        return jnp.take_along_axis(code_table, idx, axis=1)  # [C, S]
-
-    early = chips_at(0.5)
-    prompt = chips_at(0.0)
-    late = chips_at(-0.5)
-
-    seg = jnp.floor(fidc * np.float32(1.0 / L_CA)).astype(jnp.int32)  # [C,S]
-    seg = jnp.clip(seg, 0, 2)
+    # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
+    # sample ~ (k*L_CA - rc) * fs / fc
+    fc = np.float32(F_CA) + state.dfc
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1).astype(jnp.float32)
+    b1 = (np.float32(L_CA) - state.rc) * (np.float32(fs) / fc)
+    b2 = (np.float32(2 * L_CA) - state.rc) * (np.float32(fs) / fc)
+    seg = ((cols >= b1[:, None]).astype(jnp.int32)
+           + (cols >= b2[:, None]).astype(jnp.int32))      # [C, S]
 
     def seg_sums(repl):
-        prod = bb * repl                                    # [C, S] complex
+        prod_re = bb_re * repl                              # [C, S]
+        prod_im = bb_im * repl
         out = []
         for k in range(3):
             m = (seg == k)
-            out.append(jnp.sum(jnp.where(m, prod, 0.0), axis=1))
-        return jnp.stack(out, axis=1)                       # [C, 3]
+            out.append(jnp.stack(
+                [jnp.sum(jnp.where(m, prod_re, 0.0), axis=1),
+                 jnp.sum(jnp.where(m, prod_im, 0.0), axis=1)], axis=-1))
+        return jnp.stack(out, axis=1)                       # [C, 3, 2]
 
     e_s = seg_sums(early)
     p_s = seg_sums(prompt)
     l_s = seg_sums(late)
 
-    fc = np.float32(F_CA) + state.dfc
     ncp = jnp.floor((np.float32(s / fs) * fc + state.rc)
                     * np.float32(1.0 / L_CA)).astype(jnp.int32)
     return e_s, p_s, l_s, ncp
@@ -159,35 +187,45 @@ def _correlate_step(state: TrackState, raw: jax.Array, code_table: jax.Array,
 
 def _polarity_combine(state: TrackState, e_s, p_s, l_s, ncp):
     """Receiver-synchronous combination with nav-bit polarity resolution
-    (reference correlator.py:162-279)."""
-    sums = e_s + p_s + l_s                                  # [C, 3]
-    s0, s1, s2 = sums[:, 0], sums[:, 1], sums[:, 2]
+    (reference correlator.py:162-279). Segment sums are [C, 3, 2] (re, im)."""
+    sums = e_s + p_s + l_s                                  # [C, 3, 2]
 
-    flip01 = jnp.abs(s0 + s1) < jnp.abs(s0 - s1)
-    flip12 = jnp.abs(s1 + s2) < jnp.abs(s1 - s2)
+    def mag2(x):
+        return x[..., 0] ** 2 + x[..., 1] ** 2
+
+    flip01 = mag2(sums[:, 0] + sums[:, 1]) < mag2(sums[:, 0] - sums[:, 1])
+    flip12 = mag2(sums[:, 1] + sums[:, 2]) < mag2(sums[:, 1] - sums[:, 2])
     g1 = jnp.where(flip01, -1.0, 1.0).astype(jnp.float32)
-    g2 = jnp.where(flip01, -1.0, jnp.where(flip12, -1.0, 1.0)).astype(jnp.float32)
+    g2 = jnp.where(flip01, -1.0,
+                   jnp.where(flip12, -1.0, 1.0)).astype(jnp.float32)
 
     def comb(x):
-        return x[:, 0] + g1 * x[:, 1] + g2 * x[:, 2]
+        return (x[:, 0] + g1[:, None] * x[:, 1]
+                + g2[:, None] * x[:, 2])                    # [C, 2]
 
     e_r, p_r, l_r = comb(e_s), comb(p_s), comb(l_s)
 
     # signal-synchronous prompt sums for nav-bit signs
-    p_s1 = state.p_a + p_s[:, 0]
-    p_s2 = p_s[:, 1]
-    sign1 = -jnp.sign(jnp.real(p_s1))
-    sign2 = -jnp.sign(jnp.real(p_s2))
+    p_s1_re = state.p_a_re + p_s[:, 0, 0]
+    sign1 = -jnp.sign(p_s1_re)
+    sign2 = -jnp.sign(p_s[:, 1, 0])
     signs = jnp.stack([sign1, sign2], axis=1)               # [C, 2]
 
-    p_a_new = jnp.where(ncp == 0, state.p_a + p_s[:, 0],
-                        jnp.where(ncp == 1, p_s[:, 1], p_s[:, 2]))
-    return e_r, p_r, l_r, signs, p_a_new
+    def pick(part):
+        return jnp.where(
+            ncp == 0, state.p_a_re + p_s[:, 0, part] if part == 0
+            else state.p_a_im + p_s[:, 0, part],
+            jnp.where(ncp == 1, p_s[:, 1, part], p_s[:, 2, part]))
+
+    p_a_re_new = pick(0)
+    p_a_im_new = pick(1)
+    return e_r, p_r, l_r, signs, p_a_re_new, p_a_im_new
 
 
 def _lock_snr_update(state: TrackState, p_r):
-    """Kaplan-Hegarty lock detector + variance-summing C/N0 meter."""
-    ip, qp = jnp.real(p_r), jnp.imag(p_r)
+    """Kaplan-Hegarty lock detector + variance-summing C/N0 meter.
+    p_r: [C, 2] (re, im)."""
+    ip, qp = p_r[:, 0], p_r[:, 1]
 
     li = LOCK_LPF * jnp.abs(ip) + (1 - LOCK_LPF) * state.lock_i
     lq = LOCK_LPF * jnp.abs(qp) + (1 - LOCK_LPF) * state.lock_q
@@ -218,13 +256,14 @@ def _lock_snr_update(state: TrackState, p_r):
 
 
 def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float):
-    """DLL/PLL discriminators -> 2nd-order loop filters -> new fc/fi."""
-    ip, qp = jnp.real(p_r), jnp.imag(p_r)
+    """DLL/PLL discriminators -> 2nd-order loop filters -> new fc/fi.
+    e_r/p_r/l_r: [C, 2] (re, im)."""
+    ip, qp = p_r[:, 0], p_r[:, 1]
     dpi = jnp.where(ip != 0.0, jnp.arctan(qp / jnp.where(ip == 0, 1.0, ip))
                     / (2.0 * np.pi), 0.0).astype(jnp.float32)
 
-    e_env = jnp.abs(e_r)
-    l_env = jnp.abs(l_r)
+    e_env = jnp.sqrt(e_r[:, 0] ** 2 + e_r[:, 1] ** 2)
+    l_env = jnp.sqrt(l_r[:, 0] ** 2 + l_r[:, 1] ** 2)
     denom = e_env + l_env
     dpc = jnp.where(denom != 0.0,
                     (e_env - l_env) / (2.0 * jnp.maximum(denom, 1e-30)),
@@ -250,22 +289,27 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
                 code_table: jax.Array, fs: float, fcaid: float):
     """Track a chunk of consecutive 1 ms windows.
 
-    raw_chunk: [steps, S] complex64. Returns (final_state, TrackLog stacked
-    over steps).
+    raw_chunk: [steps, S, 2] float32 (re, im last axis) or [steps, S]
+    complex (converted). Returns (final_state, TrackLog stacked over steps).
     """
+    if jnp.iscomplexobj(raw_chunk):
+        raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
+                              axis=-1).astype(jnp.float32)
     s = raw_chunk.shape[1]
     time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
 
     def body(st: TrackState, raw):
-        e_s, p_s, l_s, ncp = _correlate_step(st, raw, code_table, time_idc, fs)
-        e_r, p_r, l_r, signs, p_a_new = _polarity_combine(st, e_s, p_s, l_s, ncp)
+        e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],
+                                             code_table, time_idc, fs)
+        (e_r, p_r, l_r, signs, p_a_re_new,
+         p_a_im_new) = _polarity_combine(st, e_s, p_s, l_s, ncp)
         st1, lock, lockval, snr = _lock_snr_update(
-            st._replace(p_a=p_a_new), p_r)
+            st._replace(p_a_re=p_a_re_new, p_a_im=p_a_im_new), p_r)
 
         log = TrackLog(
-            iE=jnp.real(e_r), qE=jnp.imag(e_r),
-            iP=jnp.real(p_r), qP=jnp.imag(p_r),
-            iL=jnp.real(l_r), qL=jnp.imag(l_r),
+            iE=e_r[:, 0], qE=e_r[:, 1],
+            iP=p_r[:, 0], qP=p_r[:, 1],
+            iL=l_r[:, 0], qL=l_r[:, 1],
             rc=st.rc, ri=st.ri, fc=np.float32(F_CA) + st.dfc, fi=st.fi,
             cp=st.cp, ncp=ncp, signs=signs, lock=lock, lockval=lockval,
             snr=snr, dpc=jnp.zeros_like(st.rc), dpi=jnp.zeros_like(st.rc))
@@ -293,10 +337,13 @@ def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
     rates. Returns per-step correlator outputs.
 
     rc/dfc/ri/fi: [C] float32 initial phases & rates (dfc = fc - F_CA);
-    raw_chunk: [steps, S] complex64.
+    raw_chunk: [steps, S] complex or [steps, S, 2] float32.
     Parity: the correlation half of channel.scalar_correlation with the
     vt steering of receiver.vt_track (receiver.py:579-591).
     """
+    if jnp.iscomplexobj(raw_chunk):
+        raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
+                              axis=-1).astype(jnp.float32)
     s = raw_chunk.shape[1]
     time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
 
@@ -308,7 +355,7 @@ def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
         st = TrackState(
             rc=carry.rc, dfc=dfc, ri=carry.ri, fi=fi,
             dfc_bias=dfc, fi_bias=fi, cp=jnp.zeros_like(rc, jnp.int32),
-            p_a=jnp.zeros(rc.shape, jnp.complex64),
+            p_a_re=jnp.zeros_like(rc), p_a_im=jnp.zeros_like(rc),
             lf_code_h=jnp.zeros_like(rc), lf_carr_h=jnp.zeros_like(rc),
             lock_i=jnp.zeros_like(rc), lock_q=jnp.zeros_like(rc),
             losscount=jnp.zeros_like(rc, jnp.int32),
@@ -317,12 +364,13 @@ def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
             snr_z=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
             snr_v=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
             snr_fill=jnp.zeros_like(rc, jnp.int32))
-        e_s, p_s, l_s, ncp = _correlate_step(st, raw, code_table, time_idc,
-                                             fs)
-        e_r, p_r, l_r, signs, _ = _polarity_combine(st, e_s, p_s, l_s, ncp)
+        e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],
+                                             code_table, time_idc, fs)
+        e_r, p_r, l_r, signs, _, _ = _polarity_combine(st, e_s, p_s, l_s,
+                                                       ncp)
         rc_new = jnp.mod(carry.rc + dfc * np.float32(T_MS), np.float32(L_CA))
         ri_new = jnp.mod(carry.ri + fi * np.float32(T_MS), 1.0)
         return _Carry(rc=rc_new, ri=ri_new), (e_r, p_r, l_r)
 
     _, (e, p, l) = jax.lax.scan(body, _Carry(rc=rc, ri=ri), raw_chunk)
-    return e, p, l   # each [steps, C] complex64
+    return e, p, l   # each [steps, C, 2] float32 (re, im)
