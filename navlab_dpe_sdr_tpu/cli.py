@@ -62,8 +62,13 @@ def cmd_acquire(args):
     block = rf.read_block()
     prns = ([int(p) for p in args.prns.split(",")] if args.prns
             else list(range(1, 33)))
-    results = acquire(block, prns, rf.fs, rf.fcaid,
-                      coherent=not args.noncoherent)
+    if args.engine == "real":
+        from .ops.acquisition_real import acquire_real
+        results = acquire_real(block, prns, rf.fs, rf.fcaid,
+                               coherent=not args.noncoherent)
+    else:
+        results = acquire(block, prns, rf.fs, rf.fcaid,
+                          coherent=not args.noncoherent)
     print(f"{'PRN':>4} {'found':>6} {'rc[chips]':>10} {'fi[Hz]':>9} "
           f"{'cppm':>6} {'cppr':>6}")
     for r in sorted(results, key=lambda r: -r.cppm):
@@ -249,6 +254,8 @@ def main(argv=None):
     pa.add_argument("--skip", type=float, default=0.0, help="seconds to skip")
     pa.add_argument("--prns", help="comma list; default 1-32")
     pa.add_argument("--noncoherent", action="store_true")
+    pa.add_argument("--engine", choices=["fft", "real"], default="fft",
+                    help="real = all-real TPU-safe search")
     pa.set_defaults(fn=cmd_acquire)
 
     pt = sub.add_parser("track", help="scalar pipeline -> handoff")

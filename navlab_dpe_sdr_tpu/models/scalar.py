@@ -60,8 +60,12 @@ class ScalarReceiver:
 
     # -- acquisition -------------------------------------------------------
 
-    def acquire(self, T: float = 0.01, verbose: bool = True):
-        """Best-of-two-blocks acquisition (reference receiver.py:452-520)."""
+    def acquire(self, T: float = 0.01, verbose: bool = True,
+                engine: str = "fft"):
+        """Best-of-two-blocks acquisition (reference receiver.py:452-520).
+
+        engine="real" uses the all-real TPU-safe search
+        (ops.acquisition_real)."""
         rf = self.rawfile
         s_per = int(round(T * rf.fs))
         start_pos = rf.sample_pos
@@ -71,8 +75,12 @@ class ScalarReceiver:
         rf.seek(start_pos, whence=0)
         rf.set_block(T_CA, T_CA, verbose=False)
 
-        res1 = acq_ops.acquire(block1, self.prn_list, rf.fs, rf.fcaid)
-        res2 = acq_ops.acquire(block2, self.prn_list, rf.fs, rf.fcaid)
+        if engine == "real":
+            from ..ops.acquisition_real import acquire_real as _acq
+        else:
+            _acq = acq_ops.acquire
+        res1 = _acq(block1, self.prn_list, rf.fs, rf.fcaid)
+        res2 = _acq(block2, self.prn_list, rf.fs, rf.fcaid)
 
         rc, ri, fc, fi = [], [], [], []
         results = []

@@ -66,3 +66,28 @@ def test_acquire_full_capture(rinex_path, handoff_path):
         assert d < 0.7, f"PRN {res.prn}: rc {rc_back:.2f} vs {ch.code_phase0:.2f}"
         assert abs(res.fi - ch.doppler0) < 40.0, \
             f"PRN {res.prn}: fi {res.fi:.1f} vs {ch.doppler0:.1f}"
+
+
+def test_acquire_real_engine_matches_fft():
+    """All-real acquisition (TPU-safe) must agree with the FFT engine."""
+    from navlab_dpe_sdr_tpu.ops.acquisition_real import acquire_real
+    n = 25000
+    rc_true, fi_true = 512.25, 1750.0
+    sig = synth_simple(7, FS, n, rc=rc_true, ri=0.42, fi=fi_true,
+                       cn0_dbhz=45.0, seed=3)
+    fcaid = F_CA / 1.57542e9
+    r_fft = acq.acquire(sig, [7], FS, fcaid=fcaid)[0]
+    r_real = acquire_real(sig, [7], FS, fcaid=fcaid)[0]
+    assert r_real.found
+    d = abs((r_real.rc - r_fft.rc + L_CA / 2) % L_CA - L_CA / 2)
+    assert d < 0.5, (r_real.rc, r_fft.rc)
+    assert abs(r_real.fi - r_fft.fi) < 10.0, (r_real.fi, r_fft.fi)
+    assert abs(r_real.cppm - r_fft.cppm) / r_fft.cppm < 0.2
+
+
+def test_acquire_real_absent_prn():
+    from navlab_dpe_sdr_tpu.ops.acquisition_real import acquire_real
+    sig = synth_simple(7, FS, 25000, rc=100.0, fi=500.0, cn0_dbhz=45.0,
+                       seed=4)
+    r = acquire_real(sig, [21], FS, fcaid=F_CA / 1.57542e9)[0]
+    assert not r.found
