@@ -60,6 +60,14 @@ class DPEConfig:
     doppler_sign: float = 1.0
     use_sat_cache: bool = True       # Hermite-interpolated satellite states
                                      # (satpos.cu design) for host prep
+    refine: str | None = None        # "newton": continuous sub-grid ML
+                                     # polish of the argmax from the score
+                                     # windows. At 20 ms / ~47 dBHz the fix
+                                     # error is score-noise-limited, so the
+                                     # default stays grid-argmax (reference
+                                     # behavior); refinement pays off with
+                                     # filtered estimators / longer
+                                     # integration.
     dump_scores_to: str | None = None  # per-block grid-score dump (npz) —
                                        # space-expensive, like the reference's
                                        # guarded CSV dump (bcm.cu:2612-2629)
@@ -280,6 +288,7 @@ class DPEReceiver:
             vel_coef=jnp.asarray(vel_coef.astype(np.float32)))
 
         # 5. one fused device call: replicas + correlation + scoring
+        code_mag = carr_mag = None
         if self.cfg.engine == "fft":
             raw = jnp.asarray(raw_block.astype(np.complex64))
             m_int, m_frac = dpe_ops.replica_shift_parts(
@@ -302,7 +311,7 @@ class DPEReceiver:
             raw_im = jnp.asarray(np.ascontiguousarray(
                 raw_block.imag.astype(np.float32)))
             (pos_scores, pos_arg, vel_scores, vel_arg,
-             flip_used) = dpe_real_ops.dpe_device_step_real(
+             flip_used, code_mag, carr_mag) = dpe_real_ops.dpe_device_step_real(
                 raw_re, raw_im, self._chips_f32, self._base0,
                 jnp.asarray(rc_mid), jnp.asarray(idx_next),
                 jnp.asarray(fi_corr), jnp.asarray(ri_corr), self._time_idc,
@@ -320,6 +329,17 @@ class DPEReceiver:
             dtdot = self.grid.dtdot[va]
             pos_peak = float(pos_scores[pa])
             vel_peak = float(vel_scores[va])
+            if self.cfg.refine == "newton" and code_mag is not None:
+                dp = self._refine_ml(
+                    np.asarray(code_mag), pos_idx_c - pos_start, pos_coef,
+                    los_enu, np.concatenate([d_enu, [dt]]),
+                    span=np.abs(self.grid.d_enu).max() * 1.5)
+                d_enu, dt = dp[0:3], dp[3]
+                dv = self._refine_ml(
+                    np.asarray(carr_mag), vel_idx_c - vel_start, vel_coef,
+                    los_enu, np.concatenate([dv_enu, [dtdot]]),
+                    span=np.abs(self.grid.dv_enu).max() * 1.5)
+                dv_enu, dtdot = dv[0:3], dv[3]
         else:
             ps = np.asarray(pos_scores, dtype=np.float64)
             vs = np.asarray(vel_scores, dtype=np.float64)
@@ -423,6 +443,41 @@ class DPEReceiver:
         ipk = np.stack([idx_next, pos_start, vel_start]).astype(np.int32)
         return fpk, ipk, r_e2n, self.rx_time, self.mc, self.ekf.x.copy()
 
+    @staticmethod
+    def _refine_ml(win_mag, center, coef, los_enu, d0, iters: int = 4,
+                   span=None):
+        """Continuous ML polish: maximize sum_c q_c(center_c + coef_c *
+        (-los_c . d + dt)) over (d_enu, dt) by Newton iterations on the
+        per-channel 3-point parabolas. d0: (4,) start (the grid argmax)."""
+        c, w = win_mag.shape
+        g = np.concatenate([-los_enu, np.ones((c, 1))], axis=1)   # [C, 4]
+        d = np.asarray(d0, dtype=np.float64).copy()
+        for _ in range(iters):
+            idx = center + coef * (g @ d)
+            k0 = np.clip(np.round(idx), 1, w - 2).astype(int)
+            frac = idx - k0
+            y0 = win_mag[np.arange(c), k0 - 1]
+            y1 = win_mag[np.arange(c), k0]
+            y2 = win_mag[np.arange(c), k0 + 1]
+            q1 = 0.5 * (y2 - y0) + (y2 - 2 * y1 + y0) * frac   # dq/didx
+            q2 = (y2 - 2 * y1 + y0)                            # d2q/didx2
+            grad = (q1 * coef) @ g                             # (4,)
+            hess = (g.T * (q2 * coef * coef)) @ g              # [4, 4]
+            # Newton toward the max: hess should be negative definite near
+            # the peak; regularize and bail out if not
+            hd = hess - 1e-9 * np.eye(4)
+            try:
+                step = np.linalg.solve(hd, -grad)
+            except np.linalg.LinAlgError:
+                break
+            if not np.all(np.isfinite(step)):
+                break
+            step = np.clip(step, -20.0, 20.0)
+            d = d + step
+            if span is not None:
+                d = np.clip(d, -span, span)
+        return d
+
     def _apply_measurement(self, pa: int, va: int, r_e2n, rx_time, mc,
                            pos_peak, vel_peak, flip_row, x_pred):
         # offsets are relative to the prediction the scoring used
@@ -465,19 +520,53 @@ class DPEReceiver:
 
     def _drain_batch(self, out, preps):
         rows = np.asarray(out)                                  # one fetch
+        c = len(self.prn_list)
+        cw = dpe_ops.CODE_WIN
+        vw = dpe_ops.CARR_WIN
         pas = rows[:, 0].astype(np.int64)
         pps = rows[:, 1]
         vas = rows[:, 2].astype(np.int64)
         vps = rows[:, 3]
-        flips = rows[:, 4:]
+        flips = rows[:, 4:4 + c]
+        code_mags = rows[:, 4 + c:4 + c + c * cw].reshape(-1, c, cw)
+        carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
         for i in range(len(preps)):
-            _, _, r_e2n, rx_time, mc, x_pred = preps[i]
-            self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
-                                    rx_time, mc, pps[i], vps[i],
-                                    flips[i], x_pred)
+            fpk, _, r_e2n, rx_time, mc, x_pred = preps[i]
+            if self.cfg.refine == "newton":
+                self._apply_refined(fpk, r_e2n, rx_time, mc,
+                                    int(pas[i]), int(vas[i]),
+                                    pps[i], vps[i], flips[i],
+                                    code_mags[i], carr_mags[i], x_pred)
+            else:
+                self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
+                                        rx_time, mc, pps[i], vps[i],
+                                        flips[i], x_pred)
         # steer channel frequencies from the newest state at the current epoch
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
         self._update_channels_from_state()
+
+    def _apply_refined(self, fpk, r_e2n, rx_time, mc, pa, va, pos_peak,
+                       vel_peak, flip_row, code_mag, carr_mag, x_pred):
+        los_enu = fpk[3:6].T
+        d0 = np.concatenate([self.grid.d_enu[pa], [self.grid.dt_m[pa]]])
+        dp = self._refine_ml(code_mag, fpk[7], fpk[8], los_enu, d0,
+                             span=np.abs(self.grid.d_enu).max() * 1.5)
+        v0 = np.concatenate([self.grid.dv_enu[va], [self.grid.dtdot[va]]])
+        dv = self._refine_ml(carr_mag, fpk[9], fpk[10], los_enu, v0,
+                             span=np.abs(self.grid.dv_enu).max() * 1.5)
+        z = np.asarray(x_pred, dtype=np.float64).copy()
+        z[0:3] += r_e2n.T @ dp[0:3]
+        z[3] += dp[3]
+        z[4:7] += r_e2n.T @ dv[0:3]
+        z[7] += dv[3]
+        self.ekf.measurement_update(z)
+        self.flip_log.append(flip_row)
+        fix = DPEFix(mc=mc, rx_time=rx_time,
+                     rx_time_a=rx_time - self.ekf.x[3] / C,
+                     x_ecef=self.ekf.x.copy(),
+                     pos_score=float(pos_peak), vel_score=float(vel_peak))
+        self.fixes.append(fix)
+        return fix
 
     def run_batched(self, n_blocks: int, lookahead: int = 25,
                     raw_blocks_dev=None, start_block: int = 0,

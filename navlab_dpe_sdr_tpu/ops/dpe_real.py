@@ -282,7 +282,8 @@ def dpe_device_step_real(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     pos_scores, pos_arg, vel_scores, vel_arg = score_manifolds_mag(
         out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
         l_power=l_power, interp=interp)
-    return (pos_scores, pos_arg, vel_scores, vel_arg, out.flip_used)
+    return (pos_scores, pos_arg, vel_scores, vel_arg, out.flip_used,
+            out.code_mag, out.carr_mag)
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +340,9 @@ def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
         row = jnp.concatenate([
             jnp.stack([pa.astype(jnp.float32), ps[pa],
                        va.astype(jnp.float32), vs_[va]]),
-            out.flip_used.astype(jnp.float32)])
+            out.flip_used.astype(jnp.float32),
+            out.code_mag.reshape(-1), out.carr_mag.reshape(-1)])
         return row
 
-    return jax.lax.map(one, jnp.arange(n_blocks))   # [N, 4 + C]
+    # [N, 4 + C + C*CODE_WIN + C*CARR_WIN]
+    return jax.lax.map(one, jnp.arange(n_blocks))
