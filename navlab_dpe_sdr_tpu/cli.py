@@ -161,11 +161,40 @@ def cmd_dpe(args):
             print(f"{fix.mc:5d} {lla[0]:.6f} {lla[1]:.6f} {lla[2]:8.2f} "
                   f"score {fix.pos_score:.3e}")
 
+    xlog = None
     if args.batched:
         rx.run_batched(n_blocks, lookahead=args.lookahead)
         if writer:
             for f in rx.fixes:
                 writer.write(f)
+    elif args.native_io:
+        # native runtime path: threaded ring-buffer sample streamer feeds the
+        # step; the 8-state fixes drain through the async CSV logger
+        from .runtime.nativelib import AsyncLogger, SampleStream
+
+        stream = SampleStream(args.file, block_samples=rx.S,
+                              start_byte=hand.bytes_read)
+        if args.xecef_log:
+            xlog = AsyncLogger(args.xecef_log, n_cols=9)
+
+        def step_native():
+            blk = stream.next_block()
+            if blk is None:
+                raise EOFError
+            cplx = blk[:, 0].astype(np.float64) + 1j * blk[:, 1]
+            fix = rx.step(raw_block=cplx)
+            if xlog:
+                xlog.write(np.concatenate([[fix.rx_time_a], fix.x_ecef]))
+            return fix
+
+        runner = FlowRunner(step_native, watchdog_s=args.watchdog,
+                            max_iterations=n_blocks,
+                            realtime_budget_s=rx.cfg.T)
+        stats = runner.run(n_blocks, on_result=on_fix)
+        stream.close()
+        if xlog:
+            xlog.close()
+        print(stats.summary())
     else:
         runner = FlowRunner(rx.step, watchdog_s=args.watchdog,
                             max_iterations=n_blocks,
@@ -292,6 +321,11 @@ def main(argv=None):
     pd.add_argument("--config", help="JSON file of DPEConfig fields")
     pd.add_argument("--profile-dir",
                     help="capture a jax profiler trace into this directory")
+    pd.add_argument("--native-io", action="store_true",
+                    help="use the native C++ sample streamer + async logger")
+    pd.add_argument("--xecef-log",
+                    help="async X_ECEF CSV (XECEFLogger equivalent), with "
+                         "--native-io")
     pd.set_defaults(fn=cmd_dpe)
 
     pv = sub.add_parser("vt", help="vector tracking from scalar pull-in")

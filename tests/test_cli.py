@@ -1,0 +1,82 @@
+"""CLI smoke tests through real subprocesses (guards the wiring)."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+
+def _run(*args, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tiny_capture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    cap = d / "cap.dat"
+    hand = d / "hand.csv"
+    r = _run("synth", "--out", str(cap), "--handoff", str(hand),
+             "--seconds", "1.2", "--cn0", "47")
+    assert r.returncode == 0, r.stderr[-800:]
+    return cap, hand
+
+
+def test_cli_acquire(tiny_capture):
+    cap, hand = tiny_capture
+    r = _run("acquire", str(cap), "--prns", "2,7,6,12")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "True" in r.stdout
+
+
+def test_cli_dpe_with_native_io(tiny_capture, tmp_path):
+    cap, hand = tiny_capture
+    fixes = tmp_path / "fixes.csv"
+    xlog = tmp_path / "x.csv"
+    r = _run("dpe", str(cap), "--handoff", str(hand), "--blocks", "20",
+             "--out", str(fixes), "--native-io", "--xecef-log", str(xlog),
+             "--watchdog", "600")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "final fix" in r.stdout
+    rows = fixes.read_text().splitlines()
+    assert len(rows) == 21  # header + 20 fixes
+    xrows = np.loadtxt(xlog, delimiter=",")
+    assert xrows.shape == (20, 9)
+
+
+def test_cli_dpe_config_overrides(tiny_capture, tmp_path):
+    cap, hand = tiny_capture
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"interp": "linear", "l_power": 2}))
+    r = _run("dpe", str(cap), "--handoff", str(hand), "--blocks", "3",
+             "--config", str(cfg), "--set", "engine=real",
+             "--watchdog", "600")
+    assert r.returncode == 0, r.stderr[-800:]
+
+
+def test_cli_console_dofile(tiny_capture, tmp_path):
+    cap, hand = tiny_capture
+    script = tmp_path / "s.dofile"
+    script.write_text(
+        f"newflow f {cap} {hand}\nsetparam f interp linear\n"
+        f"startflow f 3\nstatus\nquit\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from navlab_dpe_sdr_tpu.console import Console;"
+         f"c = Console(); c.onecmd('dofile {script}')"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "final fix" in r.stdout
