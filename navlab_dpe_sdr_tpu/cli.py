@@ -162,7 +162,13 @@ def cmd_dpe(args):
                   f"score {fix.pos_score:.3e}")
 
     xlog = None
-    if args.batched:
+    if args.integrate:
+        rx.run_integrated(n_blocks // args.integrate,
+                          blocks_per_fix=args.integrate)
+        if writer:
+            for f in rx.fixes:
+                writer.write(f)
+    elif args.batched:
         rx.run_batched(n_blocks, lookahead=args.lookahead)
         if writer:
             for f in rx.fixes:
@@ -313,6 +319,9 @@ def main(argv=None):
     pd.add_argument("--weekno", type=int, default=2008)
     pd.add_argument("--batched", action="store_true",
                     help="high-throughput batched mode")
+    pd.add_argument("--integrate", type=int, metavar="K",
+                    help="integrated mode: one fix per K blocks with "
+                         "on-device score accumulation (lower noise)")
     pd.add_argument("--lookahead", type=int, default=25)
     pd.add_argument("--watchdog", type=float, default=1.5)
     pd.add_argument("--verbose", action="store_true")

@@ -568,6 +568,47 @@ class DPEReceiver:
         self.fixes.append(fix)
         return fix
 
+    def run_integrated(self, n_batches: int, blocks_per_fix: int = 8,
+                       raw_blocks_dev=None, start_block: int = 0):
+        """Integrated DPE: one fix per `blocks_per_fix` blocks with the
+        score surfaces accumulated on device (noncoherent integration).
+        Trades fix rate for ~sqrt(N) lower score noise — a capability the
+        reference's fetch-per-block architecture cannot express."""
+        assert self.cfg.engine == "real"
+        rf = self.rawfile
+        done = 0
+        for _ in range(n_batches):
+            n = blocks_per_fix
+            preps = [self._prepare_block() for _ in range(n)]
+            fpk = jnp.asarray(np.stack([p[0] for p in preps]))
+            ipk = jnp.asarray(np.stack([p[1] for p in preps]))
+            if raw_blocks_dev is None:
+                blocks = np.stack([rf.read_block_raw() for _ in range(n)])
+                raw_dev = jnp.asarray(blocks)
+                start = 0
+            else:
+                raw_dev = raw_blocks_dev
+                start = start_block + done
+            row, flips = dpe_real_ops.dpe_scan_integrate(
+                raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
+                self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
+                self._dtdot, carr_fftpts=self.carr_fftpts,
+                period=self.period, n_periods=self.S // self.period,
+                n_blocks=n, l_power=self.cfg.l_power,
+                interp=self.cfg.interp)
+            row = np.asarray(row)
+            flips = np.asarray(flips)
+            # the measurement is referenced to the LAST block's prediction
+            # (identical to every other block's: X frozen during the batch)
+            _, _, r_e2n, rx_time, mc, x_pred = preps[-1]
+            self._apply_measurement(int(row[0]), int(row[2]), r_e2n,
+                                    rx_time, mc, row[1], row[3],
+                                    flips[-1], x_pred)
+            self.rx_time_a = self.rx_time - self.ekf.x[3] / C
+            self._update_channels_from_state()
+            done += n
+        return self.fixes
+
     def run_batched(self, n_blocks: int, lookahead: int = 25,
                     raw_blocks_dev=None, start_block: int = 0,
                     pipeline: bool = False):

@@ -158,3 +158,26 @@ def test_pipelined_batched_accuracy():
     errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
             for f in rx.fixes]
     assert np.median(errs[-6:]) < 20.0, [round(e, 1) for e in errs]
+
+
+def test_integrated_dpe_beats_per_block():
+    """Noncoherent K-block score integration must reduce fix error below the
+    per-block argmax floor."""
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 48
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3],
+                                          np.array([30.0, -40.0, 15.0]))
+    import copy
+    rf = SampleFile(samples=samples, fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    rx.run_integrated(6, blocks_per_fix=8)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx.fixes]
+    assert np.median(errs[2:]) < 8.0, errs
