@@ -145,7 +145,6 @@ def cmd_dpe(args):
 
     profile_ctx = None
     if args.profile_dir:
-        import contextlib
         import jax
         profile_ctx = jax.profiler.trace(args.profile_dir)
         profile_ctx.__enter__()

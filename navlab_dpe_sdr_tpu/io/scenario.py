@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import C, F_CA, F_L1, L_CA, T_CA, PI
+from ..constants import C, F_CA, F_L1, T_CA, PI
 from ..libgnss import frames, satpos
 from ..libgnss.ephemeris import EphArray, Ephemeris
 from .handoff import Handoff

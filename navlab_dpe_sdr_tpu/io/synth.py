@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import C, F_CA, F_L1, L_CA, OEDot, T_CA
+from ..constants import C, F_CA, F_L1, L_CA, OEDot
 from ..libgnss import lnav, satpos
 from ..libgnss.cacode import ca_code
 from ..libgnss.ephemeris import EphArray

@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import C, F_CA, L_CA, T_CA
+from ..constants import C, L_CA, T_CA
 from ..libgnss import dataparser, naveng
 from ..libgnss.cacode import ca_table
 from ..libgnss.ephemeris import ALL_FIELDS, EphArray, Ephemeris

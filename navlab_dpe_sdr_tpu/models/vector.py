@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import C, F_CA, F_L1, L_CA, T_CA
-from ..libgnss import frames, naveng, satpos
+from ..libgnss import frames, naveng
 from ..libgnss.cacode import ca_table
 from ..libgnss.ephemeris import EphArray
 from ..io.rawfile import SampleFile

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import F_CA, F_L1, L_CA
+from ..constants import F_CA, L_CA
 
 # Doppler search grids (reference correlator.py:13-14)
 DOPPLER_COHERENT = np.arange(-62, 63) * 100.0      # 125 bins x 100 Hz

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import C, F_CA, F_L1, L_CA
+from ..constants import C, F_CA, L_CA
 
 CODE_WIN = 64   # samples of code_corr kept around each channel's center
 CARR_WIN = 64   # carrier FFT bins kept around each channel's center
