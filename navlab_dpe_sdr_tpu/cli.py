@@ -242,6 +242,43 @@ def cmd_vt(args):
     print(f"final fix: {vt.x[:3]}  LLA {lla[0]:.6f},{lla[1]:.6f},{lla[2]:.1f}")
 
 
+def cmd_fleet(args):
+    from .io.rawfile import SampleFile
+    from .models.fleet import ReceiverFleet
+
+    files = args.files
+    prns = [int(p) for p in args.prns.split(",")]
+    fleet = ReceiverFleet([SampleFile(f, fs=args.fs) for f in files], prns,
+                          labels=[f"rx{i}" for i in range(len(files))])
+    fleet.acquire(verbose=True)
+    print(f"tracking {args.seconds}s on {len(files)} receivers ...")
+    fleet.track(int(args.seconds * 1000))
+    decoded = fleet.decode_ephemerides(verbose=True)
+    if args.rinex:
+        from .libgnss import rinex as rinex_mod
+        for rx, good in zip(fleet.receivers, decoded):
+            missing = [p for p in prns if p not in good]
+            if missing:
+                rx.set_ephemerides(rinex_mod.load_ephemerides(args.rinex,
+                                                              missing))
+    elif any(set(g) != set(prns) for g in decoded):
+        print("not all ephemerides decoded (need ~36 s of data or --rinex); "
+              "skipping alignment/DPE")
+        return
+    offsets = fleet.align()
+    print(f"alignment offsets [ms]: {list(offsets)}")
+    for label, (rx_time_a, _, x_ecef, _, _) in zip(fleet.labels,
+                                                   fleet.nav_solutions()):
+        print(f"{label}: t={rx_time_a:.6f} fix={x_ecef[:3]}")
+    if args.dpe_blocks:
+        import os
+        os.makedirs(args.out_dir, exist_ok=True)
+        print(f"running DPE x{args.dpe_blocks} blocks per receiver ...")
+        dpes = fleet.run_dpe(args.dpe_blocks, checkpoint_dir=args.out_dir)
+        for label, drx in zip(fleet.labels, dpes):
+            print(f"{label}: final {drx.fixes[-1].x_ecef[:3]}")
+
+
 def cmd_console(args):
     from .console import Console
     Console().cmdloop()
@@ -348,6 +385,16 @@ def main(argv=None):
     pv.add_argument("--epochs", type=int, default=100)
     pv.set_defaults(fn=cmd_vt)
 
+    pf = sub.add_parser("fleet", help="multi-receiver parallel processing")
+    pf.add_argument("files", nargs="+")
+    pf.add_argument("--fs", type=float, default=2.5e6)
+    pf.add_argument("--prns", required=True)
+    pf.add_argument("--seconds", type=float, default=36.0)
+    pf.add_argument("--rinex", help="ephemeris fallback for undecoded PRNs")
+    pf.add_argument("--dpe-blocks", type=int, default=0)
+    pf.add_argument("--out-dir", default="fleet_out")
+    pf.set_defaults(fn=cmd_fleet)
+
     pc = sub.add_parser("console", help="interactive flow console")
     pc.set_defaults(fn=cmd_console)
 
@@ -357,7 +404,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     _select_device(args.device,
-                   default_cpu=args.fn in (cmd_acquire, cmd_track, cmd_vt))
+                   default_cpu=args.fn in (cmd_acquire, cmd_track, cmd_vt,
+                                           cmd_fleet))
     return args.fn(args)
 
 
