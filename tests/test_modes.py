@@ -133,3 +133,17 @@ def test_grid_variants_and_csv(tmp_path):
     g3 = load_grid_csv(str(p))
     assert g3.n_pos == 100
     np.testing.assert_allclose(g3.d_enu, rows, rtol=1e-12)
+
+
+def test_reference_parity_linear_interp(scene):
+    """interp='linear' (the reference's exact chord estimator) must run and
+    hold the solution; its known integer-snap stickiness keeps corrections
+    coarse, so only require boundedness (see ops/dpe.py discussion)."""
+    samples, hand, arr = scene
+    rf = SampleFile(samples=samples.copy(), fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand),
+                     config=DPEConfig(interp="linear"),
+                     eph=copy.deepcopy(arr))
+    fixes = rx.run(8)
+    errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]) for f in fixes]
+    assert np.max(errs) < 60.0, errs
