@@ -52,7 +52,10 @@ class DPEFix:
 class DPEConfig:
     T: float = 0.02
     l_power: int = 1
-    ekf_mode: str = "passthrough"   # CUDARecv default EnableEKF=false
+    ekf_mode: str = "passthrough"   # CUDARecv default EnableEKF=false;
+                                     # "alpha" = fixed-gain smoother,
+                                     # "full" = 8-state EKF
+    ekf_alpha: float = 0.3
     use_argmax: bool = True          # reference's active estimator variant
     interp: str = "quadratic"        # "linear" = exact reference parity
     engine: str = "real"             # "real" = gather/complex-free windowed
@@ -96,7 +99,8 @@ class DPEReceiver:
         self.cp = handoff.cp.astype(np.float64).copy()
 
         self.rx_time = float(handoff.rx_time)
-        self.ekf = NavEKF(handoff.x_ecef, T=self.cfg.T, mode=self.cfg.ekf_mode)
+        self.ekf = NavEKF(handoff.x_ecef, T=self.cfg.T,
+                          mode=self.cfg.ekf_mode, alpha=self.cfg.ekf_alpha)
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
 
         rawfile.seek_bytes(handoff.bytes_read)

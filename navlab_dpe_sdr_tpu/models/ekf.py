@@ -9,6 +9,9 @@ Two modes, matching the reference's pair:
 - "full": random-walk F with T coupling, velocity-LPF process noise, H = I,
   R = I measurement covariance — CUDARecv StepPredict/StepUpdate
   (cuekf.cu:42-81, 626-721) / PyGNSS m5 variants (ekf.py:58-73, 159-177).
+- "alpha": fixed-gain smoother x += alpha*(z - x) — the right steady-state
+  filter for a static receiver with grid-argmax measurement noise; reduces
+  fix scatter ~sqrt(alpha/(2-alpha)) while converging geometrically.
 
 Host-side float64 numpy: an 8x8 solve per 20 ms is not device work.
 """
@@ -24,10 +27,11 @@ Q_CLOCK_DRIFT = (2.5e-10 * C) ** 2
 
 class NavEKF:
     def __init__(self, x0: np.ndarray, T: float = 0.02,
-                 mode: str = "passthrough"):
+                 mode: str = "passthrough", alpha: float = 0.3):
         self.x = np.asarray(x0, dtype=np.float64).reshape(8).copy()
         self.T = float(T)
         self.mode = mode
+        self.alpha = float(alpha)
         self.P = np.eye(8)
         self.F = np.eye(8)
         if mode == "full":
@@ -61,6 +65,9 @@ class NavEKF:
         z = np.asarray(z, dtype=np.float64).reshape(8)
         if self.mode == "passthrough":
             self.x = z.copy()
+            return self.x
+        if self.mode == "alpha":
+            self.x = self.x + self.alpha * (z - self.x)
             return self.x
         y = z - self.H @ self.x
         s = self.H @ self.P @ self.H.T + self.R

@@ -147,3 +147,20 @@ def test_reference_parity_linear_interp(scene):
     fixes = rx.run(8)
     errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]) for f in fixes]
     assert np.max(errs) < 60.0, errs
+
+
+def test_alpha_smoother_beats_passthrough(scene):
+    """ekf_mode='alpha' must cut the fix scatter well below passthrough."""
+    samples, hand, arr = scene
+    results = {}
+    for mode in ("passthrough", "alpha"):
+        rf = SampleFile(samples=samples.copy(), fs=FS)
+        rx = DPEReceiver(rf, copy.deepcopy(hand),
+                         config=DPEConfig(ekf_mode=mode, ekf_alpha=0.3),
+                         eph=copy.deepcopy(arr))
+        rx.run(14)
+        errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3])
+                for f in rx.fixes]
+        results[mode] = np.median(errs[6:])
+    assert results["alpha"] < 8.0, results
+    assert results["alpha"] < results["passthrough"] + 1e-9, results
