@@ -181,7 +181,13 @@ class CaptureSimulator:
             chip_total = ts_rel * F_CA
             chips = ca_code(self.eph.prn[i])[
                 np.mod(np.floor(chip_total), L_CA).astype(np.int64)]
-            phase = F_L1 * (t_sv - t_rx)
+            # Downconversion LO derives from the same (drifting) oscillator
+            # as the ADC clock, so its phase advances with receiver-clock
+            # time t_lo = tow0 + t_file, not true time t_rx.  The difference
+            # puts +F_L1*drift Hz on the baseband carrier — the code/carrier
+            # coherence a single-oscillator receiver (and the 8-state clock
+            # model, x[7] = c*d(bias)/dt) relies on.
+            phase = F_L1 * (t_sv - (self.tow0 + t_file))
             carrier = np.exp(2j * np.pi * np.mod(phase, 1.0))
             s = chips * carrier
             if self.nav_data:

@@ -1,0 +1,94 @@
+"""Dynamic scenarios: moving receiver and receiver clock drift."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from navlab_dpe_sdr_tpu.constants import C
+from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
+from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+from navlab_dpe_sdr_tpu.models.grid import spread_grid
+
+FS = 2.5e6
+
+
+def _to_iq(iq):
+    samples = np.empty(iq.shape[0], DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    return samples
+
+
+def test_dpe_tracks_moving_receiver():
+    """Receiver moving at ~14 m/s: per-block fixes must follow the true
+    trajectory and the velocity manifold must report the motion."""
+    sim, hand, arr = make_scenario(nav_data=True)
+    vel = np.array([10.0, -8.0, 5.0])       # ECEF m/s
+    rx_state = hand.x_ecef.copy()
+    rx_state[4:7] = vel
+    sim2 = CaptureSimulator(arr, rx_state, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=47.0, nav_data=True, seed=11)
+    n_blocks = 40
+    iq = sim2.generate(50000 * n_blocks)
+    rf = SampleFile(samples=_to_iq(iq), fs=FS)
+
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef = rx_state.copy()           # exact init incl. velocity
+    rx = DPEReceiver(rf, hand2, grid=spread_grid(), eph=copy.deepcopy(arr))
+    rx.run(n_blocks)
+
+    errs = []
+    vels = []
+    for k, f in enumerate(rx.fixes):
+        t_el = (k + 1) * 0.02
+        truth_pos = rx_state[0:3] + vel * t_el
+        errs.append(np.linalg.norm(f.x_ecef[0:3] - truth_pos))
+        vels.append(np.linalg.norm(f.x_ecef[4:7] - vel))
+    assert np.median(errs[5:]) < 20.0, [round(e, 1) for e in errs]
+    # velocity manifold resolution is 0.5 m/s dense / coarser outside
+    assert np.median(vels[5:]) < 2.5, [round(v, 2) for v in vels]
+
+
+def test_dpe_tracks_clock_drift():
+    """Receiver oscillator drift of 5e-8 s/s (~15 m/s of clock ramp).
+
+    A real handoff carries the scalar loops' drift estimate, and the DPE
+    dtdot axis (span of a few m/s) then tracks residuals; it cannot acquire
+    a 15 m/s offset cold. So: init x[7] from truth and require DPE to (a)
+    ramp the clock bias at -drift*C via the dt axis and (b) hold the drift
+    state near truth via the dtdot axis.
+    """
+    sim, hand, arr = make_scenario(nav_data=True)
+    drift = 5e-8
+    expect = -drift * C
+    sim2 = CaptureSimulator(arr, hand.x_ecef, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=47.0, nav_data=True, seed=12,
+                            clock_drift=drift)
+    n_blocks = 80
+    iq = sim2.generate(50000 * n_blocks)
+    rf = SampleFile(samples=_to_iq(iq), fs=FS)
+
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef[7] = expect
+    rx = DPEReceiver(rf, hand2, grid=spread_grid(),
+                     eph=copy.deepcopy(arr),
+                     config=DPEConfig(ekf_mode="alpha", ekf_alpha=0.3))
+    rx.run(n_blocks)
+
+    # with sampling driven by a slow oscillator, the estimated clock bias
+    # must ramp at ~ -drift * C meters per second of elapsed time (the dt
+    # axis measures it at 6 m grid quantization, hence the wide tolerance)
+    dts = np.array([f.x_ecef[3] - hand.x_ecef[3] for f in rx.fixes])
+    t = (np.arange(n_blocks) + 1) * 0.02
+    slope = np.polyfit(t, dts, 1)[0]
+    assert abs(slope - expect) < 0.5 * abs(expect), (slope, expect)
+    # drift state must be held, not walk away
+    dtdots = [f.x_ecef[7] for f in rx.fixes[10:]]
+    assert abs(np.median(dtdots) - expect) < 4.0, np.median(dtdots)
+    # position must not be dragged off by the clock ramp
+    perr = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3])
+            for f in rx.fixes[5:]]
+    assert np.median(perr) < 25.0, perr
