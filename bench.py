@@ -27,7 +27,7 @@ def main():
     from navlab_dpe_sdr_tpu.models.dpe import DPEReceiver
     from navlab_dpe_sdr_tpu.models.grid import spread_grid
 
-    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     warmup = 25
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)

@@ -513,7 +513,7 @@ class DPEReceiver:
             raw_dev = raw_blocks_dev
             start = start_block + done
 
-        out = dpe_real_ops.dpe_scan_blocks(
+        out = dpe_real_ops.dpe_batch_blocks(
             raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
             self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
             self._dtdot, carr_fftpts=self.carr_fftpts,

@@ -41,8 +41,15 @@ import numpy as np
 
 from ..constants import C, F_CA, L_CA
 
-CODE_WIN = 64   # samples of code_corr kept around each channel's center
-CARR_WIN = 64   # carrier FFT bins kept around each channel's center
+CODE_WIN = 16   # samples of code_corr kept around each channel's center.
+# The position manifold spans ~+/-2 samples (|drange + dt| <~ 250 m at
+# 0.00834 samples/m), so 16 leaves 4x margin while quartering the
+# score-interpolation weight construction (the VPU-bound hot loop).
+CARR_WIN = 48   # carrier FFT bins kept around each channel's center.
+# The velocity manifold spans ~+/-15 bins on the reference grids (|dv| +
+# |dtdot| <~ 13.5 m/s at 1.1 bins per m/s), leaving ~+/-9 bins (~43 Hz) of
+# carrier-prediction margin; the interpolation weight tensor over the grid
+# is the HBM-bandwidth bottleneck, so width is traffic.
 _SCORE_CHUNK = 16384  # grid points per interpolation chunk
 
 

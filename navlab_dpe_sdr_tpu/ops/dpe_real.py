@@ -35,24 +35,64 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import F_CA, L_CA
-from .dpe import CARR_WIN, CODE_WIN, ManifoldParams, _interp_scores
+from .dpe import (CARR_WIN, CODE_WIN, ManifoldParams, _interp_scores,
+                  _interp_weights)
 
 _SLIVER = 128  # samples around the nav-bit boundary handled exactly
 
 
-def _period_replicas(chips, base0, rc_mid):
-    """One-period +/-1 replicas via one-hot matmul (no gather).
+@functools.lru_cache(maxsize=4)
+def _chip_lookup_consts(period: int):
+    """Compile-time constant chip-lookup tables for one code period.
 
-    chips: [C, 1023] f32; base0: [P0] = (arange(P0) * F_CA / fs) — the
-    nominal chip index per sample of one code period; rc_mid: [C] f32 code
-    phase (mid-block). Returns [C, P0] f32.
+    The engine already requires period == T_CA * fs exactly (the fold step),
+    so the nominal per-sample chip index is base0[k] = k * L_CA / period.
+    With code phase rc, floor(base0[k] + rc) = floor(base0[k]) + floor(rc)
+    + carry(k, rc) where carry = [frac(base0[k]) + frac(rc) >= 1]. The two
+    integer patterns floor(base0) and floor(base0)+1 are data-independent:
+    the lookup becomes two CONSTANT one-hot matmuls applied to the chip
+    sequence rolled by floor(rc) — eliminating the old per-block
+    [C, P0, 1023] one-hot equality tensor (~80 MB of HBM traffic/block).
+    Returns numpy (e0 [P0, L_CA], e1 [P0, L_CA], frac_base [P0]).
     """
-    idx = jnp.mod(jnp.floor(base0[None, :] + rc_mid[:, None]),
-                  np.float32(L_CA))                       # [C, P0]
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1023), 2)
-    onehot = (idx[:, :, None] == k).astype(jnp.float32)   # [C, P0, 1023]
-    return jnp.einsum("cpk,ck->cp", onehot, chips,
-                      preferred_element_type=jnp.float32)
+    l_ca = int(L_CA)
+    base0 = (np.arange(period) * float(l_ca) / period).astype(np.float32)
+    floor_base = np.floor(base0).astype(np.int64)
+    frac_base = (base0 - floor_base.astype(np.float32)).astype(np.float32)
+    e0 = np.zeros((period, l_ca), np.float32)
+    e0[np.arange(period), floor_base % l_ca] = 1.0
+    e1 = np.zeros((period, l_ca), np.float32)
+    e1[np.arange(period), (floor_base + 1) % l_ca] = 1.0
+    return e0, e1, frac_base
+
+
+def _period_replicas(chips, rc_mid, period: int):
+    """One-period +/-1 replicas via constant one-hot matmuls (no gather).
+
+    chips: [C, 1023] f32; rc_mid: [C] f32 code phase (mid-block);
+    period: static samples per code period. Returns [C, P0] f32.
+    """
+    e0_np, e1_np, frac_base_np = _chip_lookup_consts(period)
+    e0 = jnp.asarray(e0_np)
+    e1 = jnp.asarray(e1_np)
+    frac_base = jnp.asarray(frac_base_np)
+    l_ca = int(L_CA)
+
+    shift = jnp.floor(rc_mid).astype(jnp.int32)           # [C]
+    frac_rc = rc_mid - jnp.floor(rc_mid)                  # [C]
+    chips2 = jnp.concatenate([chips, chips], axis=1)      # [C, 2*1023]
+
+    def roll_one(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (l_ca,))
+
+    rolled = jax.vmap(roll_one)(chips2, jnp.mod(shift, l_ca))   # [C, 1023]
+    r0 = jnp.einsum("pk,ck->cp", e0, rolled,
+                    preferred_element_type=jnp.float32)   # [C, P0]
+    r1 = jnp.einsum("pk,ck->cp", e1, rolled,
+                    preferred_element_type=jnp.float32)
+    carry = ((frac_base[None, :] + frac_rc[:, None])
+             >= np.float32(1.0)).astype(jnp.float32)      # [C, P0]
+    return r0 + carry * (r1 - r0)
 
 
 def _lag_matrix(period_repl, m_signed):
@@ -122,8 +162,10 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     bb_re = raw_re[None, :] * wc + raw_im[None, :] * ws     # [C, S]
     bb_im = raw_im[None, :] * wc - raw_re[None, :] * ws
 
-    # one-period replicas, tiled
-    p_repl = _period_replicas(chips, base0, rc_mid)         # [C, P0]
+    # one-period replicas, tiled (base0 retained in the signature for API
+    # stability; the lookup tables are compile-time constants of `period`)
+    del base0
+    p_repl = _period_replicas(chips, rc_mid, period)        # [C, P0]
     repl = jnp.tile(p_repl, (1, n_periods))                 # [C, S]
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
@@ -348,6 +390,97 @@ def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     return jax.lax.map(one, jnp.arange(n_blocks))
 
 
+_BATCH_CHUNK = 2048  # grid points per chunk in the block-batched scorer
+
+
+def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                        interp: str, l_power: int):
+    """Block-batched manifold scoring for one axis (pos or vel).
+
+    win_mag: [N, C, W]; los_enu: [N, C, 3]; centers/coefs: [N, C];
+    r0: [N, C] (position manifold curvature) or None (velocity manifold);
+    off3: [G, 3] grid offsets; off1: [G] clock-axis offsets.
+    Returns [N, G]. The grid is chunked so the [N, C, chunk, W] weight
+    tensor stays bounded; per chunk everything is batched over blocks —
+    one kernel per op for all N blocks instead of a device loop.
+    """
+    n, c, w = win_mag.shape
+    g = off3.shape[0]
+    chunk = min(_BATCH_CHUNK, g)
+    n_chunks = -(-g // chunk)
+    pad = n_chunks * chunk - g
+    off3_ch = jnp.pad(off3, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    off1_ch = jnp.pad(off1, ((0, pad),)).reshape(n_chunks, chunk)
+
+    def one(chunk_ops):
+        o3, o1 = chunk_ops                              # [chunk,3], [chunk]
+        u = jnp.einsum("gj,ncj->ncg", o3, los_enu,
+                       preferred_element_type=jnp.float32)  # [N,C,chunk]
+        if r0 is not None:
+            d2 = jnp.sum(o3 * o3, axis=1)
+            rng_ = -u + (d2[None, None, :] - u * u) / (2.0 * r0[..., None])
+        else:
+            rng_ = -u
+        idx = centers[..., None] + coefs[..., None] * (rng_ + o1[None, None, :])
+        wgt = _interp_weights(idx, w, interp)           # [N,C,chunk,W]
+        vals = jnp.einsum("ncgw,ncw->ncg", wgt, win_mag,
+                          preferred_element_type=jnp.float32)
+        if l_power == 1:
+            return jnp.sum(vals, axis=1)                # [N, chunk]
+        return jnp.sum(vals ** l_power, axis=1)
+
+    out = jax.lax.map(one, (off3_ch, off1_ch))          # [K, N, chunk]
+    return out.transpose(1, 0, 2).reshape(n, -1)[:, :g]
+
+
+@functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
+                                             "n_periods", "n_blocks",
+                                             "l_power", "interp"))
+def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
+                     d_enu, dt_m, dv_enu, dtdot,
+                     carr_fftpts: int, period: int, n_periods: int,
+                     n_blocks: int, l_power: int = 1,
+                     interp: str = "quadratic"):
+    """Block-batched fused DPE: vmap over blocks instead of a device loop.
+
+    Same inputs/outputs as dpe_scan_blocks, but every op processes all
+    n_blocks at once — on accelerators with per-kernel dispatch overhead
+    the lax.map body's ~10^2 kernels per block dominate the runtime; the
+    batched form launches each kernel once for the whole batch.
+    """
+    raw = jax.lax.dynamic_slice(
+        raw_all_i16, (start, 0, 0),
+        (n_blocks,) + tuple(raw_all_i16.shape[1:]))     # [N, S, 2]
+    raw_re = raw[..., 0].astype(jnp.float32)
+    raw_im = raw[..., 1].astype(jnp.float32)
+
+    out = jax.vmap(
+        windowed_correlate,
+        in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
+    )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
+      fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
+      carr_fftpts, period, n_periods)
+
+    los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
+    pos_scores = _score_axis_batched(out.code_mag, los_enu, fpk[:, 7],
+                                     fpk[:, 8], fpk[:, 6], d_enu, dt_m,
+                                     interp, l_power)   # [N, Gp]
+    vel_scores = _score_axis_batched(out.carr_mag, los_enu, fpk[:, 9],
+                                     fpk[:, 10], None, dv_enu, dtdot,
+                                     interp, l_power)   # [N, Gv]
+
+    pa = jnp.argmax(pos_scores, axis=1)
+    va = jnp.argmax(vel_scores, axis=1)
+    n = pos_scores.shape[0]
+    head = jnp.stack([pa.astype(jnp.float32),
+                      jnp.max(pos_scores, axis=1),
+                      va.astype(jnp.float32),
+                      jnp.max(vel_scores, axis=1)], axis=1)   # [N, 4]
+    return jnp.concatenate([
+        head, out.flip_used.astype(jnp.float32),
+        out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
                                              "l_power", "interp"))
@@ -367,30 +500,26 @@ def dpe_scan_integrate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     fetch.
     """
 
-    def body(carry, i):
-        acc_pos, acc_vel = carry
-        raw = jax.lax.dynamic_index_in_dim(raw_all_i16, start + i, 0,
-                                           keepdims=False)
-        raw_re = raw[:, 0].astype(jnp.float32)
-        raw_im = raw[:, 1].astype(jnp.float32)
-        f = fpk[i]
-        p = ipk[i]
-        params = ManifoldParams(
-            los_enu=f[3:6].T, r0=f[6], pos_center=f[7], pos_coef=f[8],
-            vel_center=f[9], vel_coef=f[10])
-        out = windowed_correlate(raw_re, raw_im, chips, base0, f[0], p[0],
-                                 f[1], f[2], time_idc, p[1], p[2],
-                                 carr_fftpts, period, n_periods)
-        ps, _, vs_, _ = score_manifolds_mag(
-            out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
-            l_power=l_power, interp=interp)
-        return (acc_pos + ps, acc_vel + vs_), out.flip_used
-
-    init = (jnp.zeros(d_enu.shape[0], jnp.float32),
-            jnp.zeros(dv_enu.shape[0], jnp.float32))
-    (acc_pos, acc_vel), flips = jax.lax.scan(body, init,
-                                             jnp.arange(n_blocks))
+    raw = jax.lax.dynamic_slice(
+        raw_all_i16, (start, 0, 0),
+        (n_blocks,) + tuple(raw_all_i16.shape[1:]))     # [N, S, 2]
+    raw_re = raw[..., 0].astype(jnp.float32)
+    raw_im = raw[..., 1].astype(jnp.float32)
+    out = jax.vmap(
+        windowed_correlate,
+        in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
+    )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
+      fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
+      carr_fftpts, period, n_periods)
+    los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))
+    acc_pos = jnp.sum(_score_axis_batched(
+        out.code_mag, los_enu, fpk[:, 7], fpk[:, 8], fpk[:, 6],
+        d_enu, dt_m, interp, l_power), axis=0)
+    acc_vel = jnp.sum(_score_axis_batched(
+        out.carr_mag, los_enu, fpk[:, 9], fpk[:, 10], None,
+        dv_enu, dtdot, interp, l_power), axis=0)
     pa = jnp.argmax(acc_pos)
     va = jnp.argmax(acc_vel)
     return (jnp.stack([pa.astype(jnp.float32), acc_pos[pa],
-                       va.astype(jnp.float32), acc_vel[va]]), flips)
+                       va.astype(jnp.float32), acc_vel[va]]),
+            out.flip_used)

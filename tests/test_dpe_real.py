@@ -39,8 +39,9 @@ def _run_both(prn, rc, fi, idx_next_val, seed=0):
         jnp.asarray([np.int32(idx_next_val)]),
         jnp.asarray([np.float32(fi)]), jnp.asarray([np.float32(0.3)]),
         t32, FPTS)
-    cw, vw, _, _ = dpe_ops.extract_windows(scores, pos_start + 32,
-                                           vel_start + 32)
+    cw, vw, _, _ = dpe_ops.extract_windows(
+        scores, pos_start + dpe_ops.CODE_WIN // 2,
+        vel_start + dpe_ops.CARR_WIN // 2)
     fft_code = np.abs(np.asarray(cw))[0]
     fft_carr = np.abs(np.asarray(vw))[0]
 
@@ -91,8 +92,8 @@ def test_real_engine_flip_matches():
     chips = ca_code(prn)[None, :]
     base0 = jnp.asarray((np.arange(PERIOD) / FS * F_CA).astype(np.float32))
     t32 = jnp.asarray((np.arange(S) / FS).astype(np.float32))
-    pos_start = np.array([S // 2 - 32], np.int32)
-    vel_start = np.array([FPTS // 2 - 32], np.int32)
+    pos_start = np.array([S // 2 - dpe_ops.CODE_WIN // 2], np.int32)
+    vel_start = np.array([FPTS // 2 - dpe_ops.CARR_WIN // 2], np.int32)
     rc_mid = np.mod(rc + (fc - F_CA) * 0.01, L_CA)
     out = dpe_real_ops.windowed_correlate(
         jnp.asarray(sig.real.astype(np.float32)),
@@ -106,7 +107,7 @@ def test_real_engine_flip_matches():
     assert bool(np.asarray(out.flip_used)[0])
     mag = np.asarray(out.code_mag)[0]
     peak = int(np.argmax(mag))
-    assert abs(peak - 32) <= 1.5
+    assert abs(peak - dpe_ops.CODE_WIN // 2) <= 1.5
     # flipped correlation recovers nearly full coherent amplitude
     assert mag[peak] > 0.8 * 32 * np.sqrt(10 ** 5.0 / FS) * S
 
