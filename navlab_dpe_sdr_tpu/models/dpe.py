@@ -519,7 +519,8 @@ class DPEReceiver:
             self._dtdot, carr_fftpts=self.carr_fftpts,
             period=self.period, n_periods=self.S // self.period,
             n_blocks=n, l_power=self.cfg.l_power,
-            interp=self.cfg.interp)
+            interp=self.cfg.interp,
+            return_windows=(self.cfg.refine == "newton"))
         return out, preps
 
     def _drain_batch(self, out, preps):
@@ -532,8 +533,11 @@ class DPEReceiver:
         vas = rows[:, 2].astype(np.int64)
         vps = rows[:, 3]
         flips = rows[:, 4:4 + c]
-        code_mags = rows[:, 4 + c:4 + c + c * cw].reshape(-1, c, cw)
-        carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
+        if rows.shape[1] > 4 + c:       # windows present (refine="newton")
+            code_mags = rows[:, 4 + c:4 + c + c * cw].reshape(-1, c, cw)
+            carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
+        else:
+            code_mags = carr_mags = None
         for i in range(len(preps)):
             fpk, _, r_e2n, rx_time, mc, x_pred = preps[i]
             if self.cfg.refine == "newton":

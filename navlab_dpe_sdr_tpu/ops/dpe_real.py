@@ -435,18 +435,25 @@ def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
-                                             "l_power", "interp"))
+                                             "l_power", "interp",
+                                             "return_windows"))
 def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                      d_enu, dt_m, dv_enu, dtdot,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, l_power: int = 1,
-                     interp: str = "quadratic"):
+                     interp: str = "quadratic",
+                     return_windows: bool = True):
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
     Same inputs/outputs as dpe_scan_blocks, but every op processes all
     n_blocks at once — on accelerators with per-kernel dispatch overhead
     the lax.map body's ~10^2 kernels per block dominate the runtime; the
     batched form launches each kernel once for the whole batch.
+
+    return_windows=False drops the per-channel score windows from the
+    packed row ([N, 4+C] instead of [N, 4+C+C*(CODE_WIN+CARR_WIN)]) —
+    they are only consumed by the Newton sub-grid refinement, and on a
+    latency-bound host link the smaller fetch matters.
     """
     raw = jax.lax.dynamic_slice(
         raw_all_i16, (start, 0, 0),
@@ -476,9 +483,10 @@ def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                       jnp.max(pos_scores, axis=1),
                       va.astype(jnp.float32),
                       jnp.max(vel_scores, axis=1)], axis=1)   # [N, 4]
-    return jnp.concatenate([
-        head, out.flip_used.astype(jnp.float32),
-        out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)], axis=1)
+    parts = [head, out.flip_used.astype(jnp.float32)]
+    if return_windows:
+        parts += [out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)]
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",

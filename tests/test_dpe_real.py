@@ -182,3 +182,34 @@ def test_integrated_dpe_beats_per_block():
     errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
             for f in rx.fixes]
     assert np.median(errs[2:]) < 8.0, errs
+
+
+def test_newton_refine_batched():
+    """refine='newton' in batched mode: the device must return the score
+    windows (return_windows=True path) and the ML polish must produce
+    sub-grid fixes that still converge."""
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 18
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3],
+                                          np.array([30.0, -40.0, 15.0]))
+    import copy
+    rf = SampleFile(samples=samples, fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr),
+                     config=DPEConfig(refine="newton"))
+    rx.run_batched(18, lookahead=6, pipeline=True)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx.fixes]
+    assert np.median(errs[-6:]) < 20.0, [round(e, 1) for e in errs]
+    # the polish moves fixes off the exact grid lattice: ENU offsets of the
+    # last fixes must not all be multiples of the 5 m dense spacing
+    r = frames.ecef_to_enu_matrix(truth[0:3])
+    enu = np.stack([r @ (f.x_ecef[0:3] - truth[0:3]) for f in rx.fixes[-6:]])
+    frac = np.minimum(np.mod(np.abs(enu), 5.0), 5.0 - np.mod(np.abs(enu), 5.0))
+    assert frac.max() > 1e-3, enu
