@@ -393,44 +393,118 @@ def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
 _BATCH_CHUNK = 2048  # grid points per chunk in the block-batched scorer
 
 
-def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
-                        interp: str, l_power: int):
-    """Block-batched manifold scoring for one axis (pos or vel).
+def _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
+                 interp: str, l_power: int):
+    """Score one grid chunk for all blocks: [N, chunk].
 
     win_mag: [N, C, W]; los_enu: [N, C, 3]; centers/coefs: [N, C];
     r0: [N, C] (position manifold curvature) or None (velocity manifold);
-    off3: [G, 3] grid offsets; off1: [G] clock-axis offsets.
-    Returns [N, G]. The grid is chunked so the [N, C, chunk, W] weight
-    tensor stays bounded; per chunk everything is batched over blocks —
-    one kernel per op for all N blocks instead of a device loop.
+    o3: [chunk, 3]; o1: [chunk].
     """
-    n, c, w = win_mag.shape
+    u = jnp.einsum("gj,ncj->ncg", o3, los_enu,
+                   preferred_element_type=jnp.float32)  # [N,C,chunk]
+    if r0 is not None:
+        d2 = jnp.sum(o3 * o3, axis=1)
+        rng_ = -u + (d2[None, None, :] - u * u) / (2.0 * r0[..., None])
+    else:
+        rng_ = -u
+    idx = centers[..., None] + coefs[..., None] * (rng_ + o1[None, None, :])
+    w = win_mag.shape[2]
+    wgt = _interp_weights(idx, w, interp)               # [N,C,chunk,W]
+    vals = jnp.einsum("ncgw,ncw->ncg", wgt, win_mag,
+                      preferred_element_type=jnp.float32)
+    if l_power == 1:
+        return jnp.sum(vals, axis=1)                    # [N, chunk]
+    return jnp.sum(vals ** l_power, axis=1)
+
+
+def _chunked_grid(off3, off1, chunk):
     g = off3.shape[0]
-    chunk = min(_BATCH_CHUNK, g)
+    chunk = min(chunk, g)
     n_chunks = -(-g // chunk)
     pad = n_chunks * chunk - g
     off3_ch = jnp.pad(off3, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     off1_ch = jnp.pad(off1, ((0, pad),)).reshape(n_chunks, chunk)
+    valid = (jnp.arange(n_chunks * chunk) < g).reshape(n_chunks, chunk)
+    return off3_ch, off1_ch, valid, chunk
+
+
+def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                        interp: str, l_power: int):
+    """Block-batched manifold scoring for one axis (pos or vel).
+
+    Returns the full [N, G] score surface. The grid is chunked so the
+    [N, C, chunk, W] weight tensor stays bounded; per chunk everything is
+    batched over blocks — one kernel per op for all N blocks instead of a
+    device loop. For argmax-only consumers use _score_axis_argmax (no
+    [N, G] materialization — required at dense-grid sizes).
+    """
+    n = win_mag.shape[0]
+    g = off3.shape[0]
+    off3_ch, off1_ch, _, _ = _chunked_grid(off3, off1, _BATCH_CHUNK)
 
     def one(chunk_ops):
-        o3, o1 = chunk_ops                              # [chunk,3], [chunk]
-        u = jnp.einsum("gj,ncj->ncg", o3, los_enu,
-                       preferred_element_type=jnp.float32)  # [N,C,chunk]
-        if r0 is not None:
-            d2 = jnp.sum(o3 * o3, axis=1)
-            rng_ = -u + (d2[None, None, :] - u * u) / (2.0 * r0[..., None])
-        else:
-            rng_ = -u
-        idx = centers[..., None] + coefs[..., None] * (rng_ + o1[None, None, :])
-        wgt = _interp_weights(idx, w, interp)           # [N,C,chunk,W]
-        vals = jnp.einsum("ncgw,ncw->ncg", wgt, win_mag,
-                          preferred_element_type=jnp.float32)
-        if l_power == 1:
-            return jnp.sum(vals, axis=1)                # [N, chunk]
-        return jnp.sum(vals ** l_power, axis=1)
+        o3, o1 = chunk_ops
+        return _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
+                            interp, l_power)
 
     out = jax.lax.map(one, (off3_ch, off1_ch))          # [K, N, chunk]
     return out.transpose(1, 0, 2).reshape(n, -1)[:, :g]
+
+
+def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK):
+    """Streaming (max, argmax) over the grid without materializing [N, G].
+
+    Scans grid chunks carrying the running best; tie-break keeps the first
+    occurrence, bit-identical to jnp.argmax over the full surface. This is
+    what makes reference-cap dense grids (2*75^4 ~ 63M points,
+    batchcorrmanifold.h:17) fit: peak live memory is one [N, C, chunk, W]
+    weight tensor, independent of G. Returns (best [N] f32, arg [N] i32).
+    """
+    n = win_mag.shape[0]
+    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk)
+
+    def step(carry, xs):
+        best, arg = carry
+        o3, o1, vmask, k = xs
+        scores = _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
+                              interp, l_power)          # [N, chunk]
+        scores = jnp.where(vmask[None, :], scores, -jnp.inf)
+        cb = jnp.max(scores, axis=1)
+        ca = jnp.argmax(scores, axis=1).astype(jnp.int32) + k * chunk
+        take = cb > best
+        return (jnp.where(take, cb, best),
+                jnp.where(take, ca, arg).astype(jnp.int32)), None
+
+    n_chunks = off3_ch.shape[0]
+    init = (jnp.full((n,), -jnp.inf, jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    (best, arg), _ = jax.lax.scan(
+        step, init,
+        (off3_ch, off1_ch, valid, jnp.arange(n_chunks, dtype=jnp.int32)))
+    return best, arg
+
+
+def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                           interp: str, l_power: int,
+                           chunk: int = _BATCH_CHUNK):
+    """Noncoherent block-integrated score surface: sum over blocks, [G].
+
+    Streams grid chunks (peak memory independent of G) and reduces the
+    block axis inside each chunk — the [N, G] intermediate of the naive
+    sum(_score_axis_batched) never exists.
+    """
+    g = off3.shape[0]
+    off3_ch, off1_ch, _, _ = _chunked_grid(off3, off1, chunk)
+
+    def one(chunk_ops):
+        o3, o1 = chunk_ops
+        return jnp.sum(_score_chunk(win_mag, los_enu, centers, coefs, r0,
+                                    o3, o1, interp, l_power), axis=0)
+
+    out = jax.lax.map(one, (off3_ch, off1_ch))          # [K, chunk]
+    return out.reshape(-1)[:g]
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
@@ -455,34 +529,41 @@ def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     they are only consumed by the Newton sub-grid refinement, and on a
     latency-bound host link the smaller fetch matters.
     """
+    out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                           time_idc, carr_fftpts, period, n_periods,
+                           n_blocks)
+    los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
+    pb, pa = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],
+                                fpk[:, 8], fpk[:, 6], d_enu, dt_m,
+                                interp, l_power)        # [N], [N]
+    vb, va = _score_axis_argmax(out.carr_mag, los_enu, fpk[:, 9],
+                                fpk[:, 10], None, dv_enu, dtdot,
+                                interp, l_power)
+    return _pack_rows(out, pa, pb, va, vb, return_windows)
+
+
+def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
+                     carr_fftpts: int, period: int, n_periods: int,
+                     n_blocks: int) -> RealBlockOut:
+    """Slice n_blocks from the device capture and correlate them (vmapped)."""
     raw = jax.lax.dynamic_slice(
         raw_all_i16, (start, 0, 0),
         (n_blocks,) + tuple(raw_all_i16.shape[1:]))     # [N, S, 2]
     raw_re = raw[..., 0].astype(jnp.float32)
     raw_im = raw[..., 1].astype(jnp.float32)
-
-    out = jax.vmap(
+    return jax.vmap(
         windowed_correlate,
         in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
     )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
       fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
       carr_fftpts, period, n_periods)
 
-    los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
-    pos_scores = _score_axis_batched(out.code_mag, los_enu, fpk[:, 7],
-                                     fpk[:, 8], fpk[:, 6], d_enu, dt_m,
-                                     interp, l_power)   # [N, Gp]
-    vel_scores = _score_axis_batched(out.carr_mag, los_enu, fpk[:, 9],
-                                     fpk[:, 10], None, dv_enu, dtdot,
-                                     interp, l_power)   # [N, Gv]
 
-    pa = jnp.argmax(pos_scores, axis=1)
-    va = jnp.argmax(vel_scores, axis=1)
-    n = pos_scores.shape[0]
-    head = jnp.stack([pa.astype(jnp.float32),
-                      jnp.max(pos_scores, axis=1),
-                      va.astype(jnp.float32),
-                      jnp.max(vel_scores, axis=1)], axis=1)   # [N, 4]
+def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
+    """One float32 row per block so the host needs a single fetch."""
+    n = pa.shape[0]
+    head = jnp.stack([pa.astype(jnp.float32), pb,
+                      va.astype(jnp.float32), vb], axis=1)    # [N, 4]
     parts = [head, out.flip_used.astype(jnp.float32)]
     if return_windows:
         parts += [out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)]
