@@ -125,6 +125,13 @@ def cmd_dpe(args):
     overrides.update(_parse_set(args.set))
     cfg = DPEConfig(**{k: v for k, v in overrides.items()
                        if k in DPEConfig.__dataclass_fields__})
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        cfg.mesh = make_mesh(n_grid=int(spec.get("grid", 0)) or None,
+                             n_chan=int(spec.get("chan", 1)))
+        print(f"mesh: {dict(cfg.mesh.shape)} over "
+              f"{cfg.mesh.devices.size} devices")
     if args.grid_csv:
         grid = load_grid_csv(args.grid_csv)
     else:
@@ -289,12 +296,14 @@ def cmd_bench(args):
     subprocess.run([sys.executable, "bench.py", str(args.blocks)])
 
 
-def _select_device(choice: str, default_cpu: bool):
+def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
     """Pin the JAX backend. Env vars are pre-empted in some environments, so
     use the config API (must run before backend initialization)."""
     import jax
     if choice == "cpu" or (choice == "auto" and default_cpu):
         jax.config.update("jax_platforms", "cpu")
+        if cpu_devices:
+            jax.config.update("jax_num_cpu_devices", int(cpu_devices))
     # "tpu"/"auto" otherwise: leave the platform default (TPU when present)
 
 
@@ -306,6 +315,9 @@ def main(argv=None):
                    help="JAX backend. auto = CPU for acquire/track (their "
                         "kernels use FFT/gather features some TPU backends "
                         "lack), platform default for dpe/bench")
+    p.add_argument("--cpu-devices", type=int, metavar="N",
+                   help="with --device cpu: expose N virtual CPU devices "
+                        "(test bed for --mesh without TPU hardware)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("synth", help="generate synthetic capture + handoff")
@@ -355,6 +367,11 @@ def main(argv=None):
     pd.add_argument("--weekno", type=int, default=2008)
     pd.add_argument("--batched", action="store_true",
                     help="high-throughput batched mode")
+    pd.add_argument("--mesh", metavar="SPEC",
+                    help="multi-device mesh, e.g. 'grid=8' or "
+                         "'chan=2,grid=4' (axes multiply to the device "
+                         "count); shards manifold scoring over grid points "
+                         "and correlation over channels")
     pd.add_argument("--integrate", type=int, metavar="K",
                     help="integrated mode: one fix per K blocks with "
                          "on-device score accumulation (lower noise)")
@@ -405,7 +422,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     _select_device(args.device,
                    default_cpu=args.fn in (cmd_acquire, cmd_track, cmd_vt,
-                                           cmd_fleet))
+                                           cmd_fleet),
+                   cpu_devices=args.cpu_devices)
     return args.fn(args)
 
 

@@ -19,6 +19,7 @@ small per-channel windows + the grid, in float32.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -74,6 +75,10 @@ class DPEConfig:
     dump_scores_to: str | None = None  # per-block grid-score dump (npz) —
                                        # space-expensive, like the reference's
                                        # guarded CSV dump (bcm.cu:2612-2629)
+    mesh: object | None = None         # jax.sharding.Mesh('chan','grid'):
+                                       # manifold scoring shards over grid
+                                       # points, correlation over channels
+                                       # (SURVEY §2.3 P3/P7). None = 1 device.
 
 
 class DPEReceiver:
@@ -134,6 +139,25 @@ class DPEReceiver:
         self.fixes: list[DPEFix] = []
         self.flip_log: list[np.ndarray] = []
         self._sat_cache: SatStateCache | None = None
+
+        # multi-device: pre-build the sharded per-block step and place the
+        # grid arrays sharded over the 'grid' mesh axis
+        self._sharded_step = None
+        if self.cfg.mesh is not None:
+            from ..parallel import mesh as pmesh
+            if self.cfg.engine == "real":
+                self._sharded_step = pmesh.sharded_dpe_step_real(
+                    self.cfg.mesh, carr_fftpts=self.carr_fftpts,
+                    period=self.period, n_periods=self.S // self.period,
+                    l_power=self.cfg.l_power, interp=self.cfg.interp)
+            else:
+                self._sharded_step = pmesh.sharded_dpe_step(
+                    self.cfg.mesh, carr_fftpts=self.carr_fftpts,
+                    l_power=self.cfg.l_power, interp=self.cfg.interp)
+            (self._d_enu, self._dt_m, self._dv_enu,
+             self._dtdot) = pmesh.shard_grid(
+                self.cfg.mesh,
+                (self._d_enu, self._dt_m, self._dv_enu, self._dtdot))
 
     # -- host-side f64 helpers --------------------------------------------
 
@@ -297,16 +321,17 @@ class DPEReceiver:
             raw = jnp.asarray(raw_block.astype(np.complex64))
             m_int, m_frac = dpe_ops.replica_shift_parts(
                 rc_snap, dfc_snap, self.rawfile.fs, self.cfg.T, self.S)
+            step_fn = self._sharded_step or functools.partial(
+                dpe_ops.dpe_device_step, carr_fftpts=self.carr_fftpts,
+                l_power=self.cfg.l_power, interp=self.cfg.interp)
             (pos_scores, pos_arg, vel_scores, vel_arg,
-             flip_used) = dpe_ops.dpe_device_step(
+             flip_used) = step_fn(
                 raw, self._code_fft0,
                 jnp.asarray(m_int), jnp.asarray(m_frac),
                 jnp.asarray(idx_next), jnp.asarray(fi_corr),
                 jnp.asarray(ri_corr), self._time_idc,
                 jnp.asarray(pos_start), jnp.asarray(vel_start), params,
-                self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
-                carr_fftpts=self.carr_fftpts, l_power=self.cfg.l_power,
-                interp=self.cfg.interp)
+                self._d_enu, self._dt_m, self._dv_enu, self._dtdot)
         else:
             rc_mid = np.mod(rc_snap + dfc_snap * (self.cfg.T / 2.0),
                             L_CA).astype(np.float32)
@@ -314,16 +339,18 @@ class DPEReceiver:
                 raw_block.real.astype(np.float32)))
             raw_im = jnp.asarray(np.ascontiguousarray(
                 raw_block.imag.astype(np.float32)))
+            step_fn = self._sharded_step or functools.partial(
+                dpe_real_ops.dpe_device_step_real,
+                carr_fftpts=self.carr_fftpts, period=self.period,
+                n_periods=self.S // self.period,
+                l_power=self.cfg.l_power, interp=self.cfg.interp)
             (pos_scores, pos_arg, vel_scores, vel_arg,
-             flip_used, code_mag, carr_mag) = dpe_real_ops.dpe_device_step_real(
+             flip_used, code_mag, carr_mag) = step_fn(
                 raw_re, raw_im, self._chips_f32, self._base0,
                 jnp.asarray(rc_mid), jnp.asarray(idx_next),
                 jnp.asarray(fi_corr), jnp.asarray(ri_corr), self._time_idc,
                 jnp.asarray(pos_start), jnp.asarray(vel_start), params,
-                self._d_enu, self._dt_m, self._dv_enu, self._dtdot,
-                carr_fftpts=self.carr_fftpts, period=self.period,
-                n_periods=self.S // self.period,
-                l_power=self.cfg.l_power, interp=self.cfg.interp)
+                self._d_enu, self._dt_m, self._dv_enu, self._dtdot)
 
         if self.cfg.use_argmax:
             pa, va = int(pos_arg), int(vel_arg)
@@ -520,7 +547,8 @@ class DPEReceiver:
             period=self.period, n_periods=self.S // self.period,
             n_blocks=n, l_power=self.cfg.l_power,
             interp=self.cfg.interp,
-            return_windows=(self.cfg.refine == "newton"))
+            return_windows=(self.cfg.refine == "newton"),
+            mesh=self.cfg.mesh)
         return out, preps
 
     def _drain_batch(self, out, preps):
@@ -603,7 +631,7 @@ class DPEReceiver:
                 self._dtdot, carr_fftpts=self.carr_fftpts,
                 period=self.period, n_periods=self.S // self.period,
                 n_blocks=n, l_power=self.cfg.l_power,
-                interp=self.cfg.interp)
+                interp=self.cfg.interp, mesh=self.cfg.mesh)
             row = np.asarray(row)
             flips = np.asarray(flips)
             # the measurement is referenced to the LAST block's prediction

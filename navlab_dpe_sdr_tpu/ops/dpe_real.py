@@ -418,15 +418,51 @@ def _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
     return jnp.sum(vals ** l_power, axis=1)
 
 
-def _chunked_grid(off3, off1, chunk):
+def _chunked_grid(off3, off1, chunk, mesh=None):
+    """Pad + reshape the grid to [K, chunk] scan chunks.
+
+    With a mesh, the chunk axis is sharded over the 'grid' mesh axis
+    (chunk is rounded up to a multiple of the axis size), so every scan
+    step's [N, C, chunk, W] weight tensor — the HBM-bound term — is
+    divided across devices; only the [N]-sized running max crosses the
+    ICI per step (SURVEY §2.3 P3/P7).
+    """
     g = off3.shape[0]
     chunk = min(chunk, g)
+    if mesh is not None:
+        nd = int(mesh.shape["grid"])
+        chunk = -(-chunk // nd) * nd
     n_chunks = -(-g // chunk)
     pad = n_chunks * chunk - g
     off3_ch = jnp.pad(off3, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     off1_ch = jnp.pad(off1, ((0, pad),)).reshape(n_chunks, chunk)
     valid = (jnp.arange(n_chunks * chunk) < g).reshape(n_chunks, chunk)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh3 = NamedSharding(mesh, P(None, "grid", None))
+        sh1 = NamedSharding(mesh, P(None, "grid"))
+        off3_ch = jax.lax.with_sharding_constraint(off3_ch, sh3)
+        off1_ch = jax.lax.with_sharding_constraint(off1_ch, sh1)
+        valid = jax.lax.with_sharding_constraint(valid, sh1)
     return off3_ch, off1_ch, valid, chunk
+
+
+def _constrain_chan(mesh, out: "RealBlockOut", los_enu, fpk):
+    """Shard the per-channel correlation outputs over the 'chan' mesh axis
+    so the scoring weight tensor is partitioned on BOTH mesh axes (its C
+    contraction becomes a psum over 'chan')."""
+    if mesh is None or int(mesh.shape.get("chan", 1)) == 1:
+        return out, los_enu, fpk
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    c3 = NamedSharding(mesh, P(None, "chan", None))
+    cst = functools.partial(jax.lax.with_sharding_constraint)
+    out = RealBlockOut(code_mag=cst(out.code_mag, c3),
+                       carr_mag=cst(out.carr_mag, c3),
+                       flip_used=cst(out.flip_used,
+                                     NamedSharding(mesh, P(None, "chan"))))
+    los_enu = cst(los_enu, c3)
+    fpk = cst(fpk, NamedSharding(mesh, P(None, None, "chan")))
+    return out, los_enu, fpk
 
 
 def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
@@ -453,17 +489,20 @@ def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
 
 
 def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
-                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK):
+                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK,
+                       mesh=None):
     """Streaming (max, argmax) over the grid without materializing [N, G].
 
     Scans grid chunks carrying the running best; tie-break keeps the first
     occurrence, bit-identical to jnp.argmax over the full surface. This is
     what makes reference-cap dense grids (2*75^4 ~ 63M points,
     batchcorrmanifold.h:17) fit: peak live memory is one [N, C, chunk, W]
-    weight tensor, independent of G. Returns (best [N] f32, arg [N] i32).
+    weight tensor, independent of G. With a mesh, each chunk is sharded
+    over the 'grid' axis (see _chunked_grid). Returns (best [N] f32,
+    arg [N] i32).
     """
     n = win_mag.shape[0]
-    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk)
+    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk, mesh)
 
     def step(carry, xs):
         best, arg = carry
@@ -488,35 +527,45 @@ def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
 
 def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
                            interp: str, l_power: int,
-                           chunk: int = _BATCH_CHUNK):
-    """Noncoherent block-integrated score surface: sum over blocks, [G].
+                           chunk: int = _BATCH_CHUNK, mesh=None):
+    """Noncoherent block-integrated (max, argmax): sum over blocks then the
+    streaming best, without materializing [N, G] or [G].
 
     Streams grid chunks (peak memory independent of G) and reduces the
-    block axis inside each chunk — the [N, G] intermediate of the naive
-    sum(_score_axis_batched) never exists.
+    block axis inside each chunk. Returns (best f32, arg i32) scalars.
     """
-    g = off3.shape[0]
-    off3_ch, off1_ch, _, _ = _chunked_grid(off3, off1, chunk)
+    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk, mesh)
 
-    def one(chunk_ops):
-        o3, o1 = chunk_ops
-        return jnp.sum(_score_chunk(win_mag, los_enu, centers, coefs, r0,
-                                    o3, o1, interp, l_power), axis=0)
+    def step(carry, xs):
+        best, arg = carry
+        o3, o1, vmask, k = xs
+        scores = jnp.sum(_score_chunk(win_mag, los_enu, centers, coefs, r0,
+                                      o3, o1, interp, l_power), axis=0)
+        scores = jnp.where(vmask, scores, -jnp.inf)     # [chunk]
+        cb = jnp.max(scores)
+        ca = jnp.argmax(scores).astype(jnp.int32) + k * chunk
+        take = cb > best
+        return (jnp.where(take, cb, best),
+                jnp.where(take, ca, arg).astype(jnp.int32)), None
 
-    out = jax.lax.map(one, (off3_ch, off1_ch))          # [K, chunk]
-    return out.reshape(-1)[:g]
+    n_chunks = off3_ch.shape[0]
+    init = (jnp.float32(-jnp.inf), jnp.int32(0))
+    (best, arg), _ = jax.lax.scan(
+        step, init,
+        (off3_ch, off1_ch, valid, jnp.arange(n_chunks, dtype=jnp.int32)))
+    return best, arg
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
                                              "l_power", "interp",
-                                             "return_windows"))
+                                             "return_windows", "mesh"))
 def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                      d_enu, dt_m, dv_enu, dtdot,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, l_power: int = 1,
                      interp: str = "quadratic",
-                     return_windows: bool = True):
+                     return_windows: bool = True, mesh=None):
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
     Same inputs/outputs as dpe_scan_blocks, but every op processes all
@@ -528,17 +577,23 @@ def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     packed row ([N, 4+C] instead of [N, 4+C+C*(CODE_WIN+CARR_WIN)]) —
     they are only consumed by the Newton sub-grid refinement, and on a
     latency-bound host link the smaller fetch matters.
+
+    mesh: optional jax.sharding.Mesh with 'grid' (and optionally 'chan')
+    axes — manifold scoring shards over grid points, correlation windows
+    over channels; results replicate. The multi-device product path
+    (SURVEY §2.3 P7; reference gap at architecture.txt:92-101).
     """
     out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                            time_idc, carr_fftpts, period, n_periods,
                            n_blocks)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
+    out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
     pb, pa = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],
                                 fpk[:, 8], fpk[:, 6], d_enu, dt_m,
-                                interp, l_power)        # [N], [N]
+                                interp, l_power, mesh=mesh)   # [N], [N]
     vb, va = _score_axis_argmax(out.carr_mag, los_enu, fpk[:, 9],
                                 fpk[:, 10], None, dv_enu, dtdot,
-                                interp, l_power)
+                                interp, l_power, mesh=mesh)
     return _pack_rows(out, pa, pb, va, vb, return_windows)
 
 
@@ -572,12 +627,12 @@ def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
-                                             "l_power", "interp"))
+                                             "l_power", "interp", "mesh"))
 def dpe_scan_integrate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                        d_enu, dt_m, dv_enu, dtdot,
                        carr_fftpts: int, period: int, n_periods: int,
                        n_blocks: int, l_power: int = 1,
-                       interp: str = "quadratic"):
+                       interp: str = "quadratic", mesh=None):
     """Multi-block noncoherent score integration in one dispatch.
 
     Accumulates the position/velocity score surfaces over n_blocks
@@ -586,29 +641,19 @@ def dpe_scan_integrate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     one argmax per batch: sqrt(N) score-noise reduction at 1/N fix rate.
     A capability beyond the reference, enabled by the windowed engine —
     accumulating 2x25^4 scores per block is free on device, ruinous to
-    fetch.
+    fetch. Streaming over grid chunks: dense grids integrate too.
     """
-
-    raw = jax.lax.dynamic_slice(
-        raw_all_i16, (start, 0, 0),
-        (n_blocks,) + tuple(raw_all_i16.shape[1:]))     # [N, S, 2]
-    raw_re = raw[..., 0].astype(jnp.float32)
-    raw_im = raw[..., 1].astype(jnp.float32)
-    out = jax.vmap(
-        windowed_correlate,
-        in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
-    )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
-      fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
-      carr_fftpts, period, n_periods)
+    out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                           time_idc, carr_fftpts, period, n_periods,
+                           n_blocks)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))
-    acc_pos = jnp.sum(_score_axis_batched(
+    out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
+    pb, pa = _score_axis_accumulate(
         out.code_mag, los_enu, fpk[:, 7], fpk[:, 8], fpk[:, 6],
-        d_enu, dt_m, interp, l_power), axis=0)
-    acc_vel = jnp.sum(_score_axis_batched(
+        d_enu, dt_m, interp, l_power, mesh=mesh)
+    vb, va = _score_axis_accumulate(
         out.carr_mag, los_enu, fpk[:, 9], fpk[:, 10], None,
-        dv_enu, dtdot, interp, l_power), axis=0)
-    pa = jnp.argmax(acc_pos)
-    va = jnp.argmax(acc_vel)
-    return (jnp.stack([pa.astype(jnp.float32), acc_pos[pa],
-                       va.astype(jnp.float32), acc_vel[va]]),
+        dv_enu, dtdot, interp, l_power, mesh=mesh)
+    return (jnp.stack([pa.astype(jnp.float32), pb,
+                       va.astype(jnp.float32), vb]),
             out.flip_used)

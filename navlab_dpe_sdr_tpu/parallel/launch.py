@@ -88,6 +88,8 @@ def main(argv=None):
     p.add_argument("--capture", help="this host's sample file shard")
     p.add_argument("--handoff")
     p.add_argument("--blocks", type=int, default=100)
+    p.add_argument("--batched", action="store_true",
+                   help="use the batched scan path (run_batched)")
     p.add_argument("--bench-only", action="store_true")
     args = p.parse_args(argv)
 
@@ -100,15 +102,20 @@ def main(argv=None):
         return
 
     # full multi-host DPE: every process runs the identical host loop on its
-    # own capture shard; grid scoring happens on the global mesh
+    # own capture shard; the jitted device step is built over the global
+    # mesh (DPEConfig.mesh), so grid scoring shards across every device of
+    # every process and the fix replicates back
     from ..io.handoff import read_handoff
     from ..io.rawfile import SampleFile
-    from ..models.dpe import DPEReceiver
+    from ..models.dpe import DPEConfig, DPEReceiver
 
     hand = read_handoff(args.handoff)
     rf = SampleFile(args.capture, fs=2.5e6)
-    rx = DPEReceiver(rf, hand)
-    rx.run(args.blocks)
+    rx = DPEReceiver(rf, hand, config=DPEConfig(mesh=mesh))
+    if args.batched:
+        rx.run_batched(args.blocks)
+    else:
+        rx.run(args.blocks)
     print(f"[proc {args.process_id}] final fix {rx.fixes[-1].x_ecef[:3]}")
 
 

@@ -37,16 +37,28 @@ def make_mesh(n_grid: int | None = None, n_chan: int = 1,
 
 
 def shard_grid(mesh: Mesh, grid_arrays):
-    """Place (d_enu, dt_m, dv_enu, dtdot) sharded over the grid axis."""
-    sh_vec = NamedSharding(mesh, P("grid"))
-    sh_mat = NamedSharding(mesh, P("grid", None))
+    """Place (d_enu, dt_m, dv_enu, dtdot) sharded over the grid axis.
+
+    device_put requires even divisibility; when a grid axis doesn't divide
+    (e.g. 25^4 = 390625 over 4 devices) the arrays are placed replicated
+    instead — the with_sharding_constraint inside the jitted step still
+    shards the scoring compute (GSPMD pads internally), only the at-rest
+    storage of these small arrays stays replicated."""
     d_enu, dt_m, dv_enu, dtdot = grid_arrays
-    return (jax.device_put(d_enu, sh_mat), jax.device_put(dt_m, sh_vec),
-            jax.device_put(dv_enu, sh_mat), jax.device_put(dtdot, sh_vec))
+    nd = int(mesh.shape["grid"])
+
+    def put(x, spec):
+        if x.shape[0] % nd:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return (put(d_enu, P("grid", None)), put(dt_m, P("grid")),
+            put(dv_enu, P("grid", None)), put(dtdot, P("grid")))
 
 
 def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
-                          n_periods: int, l_power: int = 1):
+                          n_periods: int, l_power: int = 1,
+                          interp: str = "quadratic"):
     """Multi-device fused step for the real windowed engine.
 
     Channel-batched correlation shards over 'chan'; manifold scoring shards
@@ -70,7 +82,7 @@ def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
             time_idc, pos_start, vel_start, params,
             d_enu, dt_m, dv_enu, dtdot,
             carr_fftpts=carr_fftpts, period=period, n_periods=n_periods,
-            l_power=l_power)
+            l_power=l_power, interp=interp)
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, repl_sh)
             if x.ndim == 0 else x, out)
@@ -78,7 +90,8 @@ def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
     return jax.jit(step)
 
 
-def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1):
+def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1,
+                     interp: str = "quadratic"):
     """Build the jitted multi-device DPE step for a given mesh (FFT engine).
 
     Correlation FFTs shard over 'chan'; manifold scoring shards over 'grid';
@@ -99,7 +112,7 @@ def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1):
         out = dpe_ops.dpe_device_step(
             raw, code_fft0, m_int, m_frac, idx_next, fi, ri, time_idc,
             pos_start, vel_start, params, d_enu, dt_m, dv_enu, dtdot,
-            carr_fftpts=carr_fftpts, l_power=l_power)
+            carr_fftpts=carr_fftpts, l_power=l_power, interp=interp)
         # replicate the tiny results
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, repl_sh)

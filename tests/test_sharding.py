@@ -54,3 +54,68 @@ def test_sharded_grid_placement(entry_args):
     # each device holds 1/8 of the grid axis
     shard_sizes = {sh.data.shape[0] for sh in d_enu.addressable_shards}
     assert max(shard_sizes) <= -(-grid.d_enu.shape[0] // 8) + 1
+
+
+def _scenario_samples(n_blocks, enu_offset=(30.0, -40.0, 15.0)):
+    import copy
+    from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+    from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * n_blocks
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3], np.array(enu_offset))
+    return samples, hand, arr, truth
+
+
+def _mk_rx(samples, hand, arr, **cfg_kw):
+    import copy
+    from navlab_dpe_sdr_tpu.io.rawfile import SampleFile
+    from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+    from navlab_dpe_sdr_tpu.models.grid import spread_grid
+    rf = SampleFile(samples=samples.copy(), fs=2.5e6)
+    return DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                       eph=copy.deepcopy(arr), config=DPEConfig(**cfg_kw))
+
+
+def test_receiver_mesh_batched_matches_single_full_shapes():
+    """Product path on the mesh at FULL shapes (25^4 spread grid, S=50000,
+    C=8): DPEConfig(mesh=...) batched fixes must match the single-device
+    batched fixes bit-for-bit (same argmax lattice points)."""
+    samples, hand, arr, truth = _scenario_samples(10)
+    rx1 = _mk_rx(samples, hand, arr)
+    rx1.run_batched(10, lookahead=5)
+    m = pmesh.make_mesh(n_grid=4, n_chan=2)
+    rx2 = _mk_rx(samples, hand, arr, mesh=m)
+    rx2.run_batched(10, lookahead=5)
+    assert len(rx1.fixes) == len(rx2.fixes) == 10
+    for f1, f2 in zip(rx1.fixes, rx2.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx2.fixes]
+    assert np.median(errs[-4:]) < 25.0, errs
+
+
+def test_receiver_mesh_per_block_and_integrated():
+    """The non-batched run() and run_integrated() paths also honor
+    DPEConfig.mesh (sharded per-block step / sharded accumulate-scan)."""
+    samples, hand, arr, truth = _scenario_samples(8)
+    m = pmesh.make_mesh(n_grid=8, n_chan=1)
+
+    rx_ref = _mk_rx(samples, hand, arr)
+    rx_ref.run(4)
+    rx = _mk_rx(samples, hand, arr, mesh=m)
+    rx.run(4)
+    for f1, f2 in zip(rx_ref.fixes, rx.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
+
+    rx_ref = _mk_rx(samples, hand, arr)
+    rx_ref.run_integrated(2, blocks_per_fix=4)
+    rxi = _mk_rx(samples, hand, arr, mesh=m)
+    rxi.run_integrated(2, blocks_per_fix=4)
+    for f1, f2 in zip(rx_ref.fixes, rxi.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
