@@ -418,32 +418,18 @@ def _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
     return jnp.sum(vals ** l_power, axis=1)
 
 
-def _chunked_grid(off3, off1, chunk, mesh=None):
-    """Pad + reshape the grid to [K, chunk] scan chunks.
-
-    With a mesh, the chunk axis is sharded over the 'grid' mesh axis
-    (chunk is rounded up to a multiple of the axis size), so every scan
-    step's [N, C, chunk, W] weight tensor — the HBM-bound term — is
-    divided across devices; only the [N]-sized running max crosses the
-    ICI per step (SURVEY §2.3 P3/P7).
-    """
+def _chunked_grid(off3, off1, chunk, valid=None):
+    """Pad + reshape the grid to [K, chunk] scan chunks (+ validity mask)."""
     g = off3.shape[0]
     chunk = min(chunk, g)
-    if mesh is not None:
-        nd = int(mesh.shape["grid"])
-        chunk = -(-chunk // nd) * nd
     n_chunks = -(-g // chunk)
     pad = n_chunks * chunk - g
     off3_ch = jnp.pad(off3, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     off1_ch = jnp.pad(off1, ((0, pad),)).reshape(n_chunks, chunk)
-    valid = (jnp.arange(n_chunks * chunk) < g).reshape(n_chunks, chunk)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh3 = NamedSharding(mesh, P(None, "grid", None))
-        sh1 = NamedSharding(mesh, P(None, "grid"))
-        off3_ch = jax.lax.with_sharding_constraint(off3_ch, sh3)
-        off1_ch = jax.lax.with_sharding_constraint(off1_ch, sh1)
-        valid = jax.lax.with_sharding_constraint(valid, sh1)
+    if valid is None:
+        valid = (jnp.arange(n_chunks * chunk) < g).reshape(n_chunks, chunk)
+    else:
+        valid = jnp.pad(valid, ((0, pad),)).reshape(n_chunks, chunk)
     return off3_ch, off1_ch, valid, chunk
 
 
@@ -488,41 +474,116 @@ def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
     return out.transpose(1, 0, 2).reshape(n, -1)[:, :g]
 
 
-def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
-                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK,
-                       mesh=None):
-    """Streaming (max, argmax) over the grid without materializing [N, G].
+def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                       valid, interp: str, l_power: int, chunk: int,
+                       block_sum: bool, psum_axis: str | None):
+    """Streaming (max, argmax) over a (local) grid slice.
 
     Scans grid chunks carrying the running best; tie-break keeps the first
-    occurrence, bit-identical to jnp.argmax over the full surface. This is
+    occurrence, bit-identical to jnp.argmax over the full surface. Peak
+    live memory is one [N, C, chunk, W] weight tensor, independent of G —
     what makes reference-cap dense grids (2*75^4 ~ 63M points,
-    batchcorrmanifold.h:17) fit: peak live memory is one [N, C, chunk, W]
-    weight tensor, independent of G. With a mesh, each chunk is sharded
-    over the 'grid' axis (see _chunked_grid). Returns (best [N] f32,
-    arg [N] i32).
+    batchcorrmanifold.h:17) fit. block_sum=True reduces the block axis
+    (noncoherent integration) so best/arg are scalars instead of [N].
+    psum_axis: mesh axis name carrying a channel shard (the C contraction
+    completes with a psum) — used inside shard_map only.
     """
     n = win_mag.shape[0]
-    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk, mesh)
+    off3_ch, off1_ch, valid_ch, chunk = _chunked_grid(off3, off1, chunk,
+                                                      valid)
 
     def step(carry, xs):
         best, arg = carry
         o3, o1, vmask, k = xs
         scores = _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
                               interp, l_power)          # [N, chunk]
-        scores = jnp.where(vmask[None, :], scores, -jnp.inf)
-        cb = jnp.max(scores, axis=1)
-        ca = jnp.argmax(scores, axis=1).astype(jnp.int32) + k * chunk
+        if psum_axis is not None:
+            scores = jax.lax.psum(scores, psum_axis)
+        if block_sum:
+            scores = jnp.sum(scores, axis=0)            # [chunk]
+        scores = jnp.where(vmask if block_sum else vmask[None, :],
+                           scores, -jnp.inf)
+        cb = jnp.max(scores, axis=-1)
+        ca = jnp.argmax(scores, axis=-1).astype(jnp.int32) + k * chunk
         take = cb > best
         return (jnp.where(take, cb, best),
                 jnp.where(take, ca, arg).astype(jnp.int32)), None
 
     n_chunks = off3_ch.shape[0]
-    init = (jnp.full((n,), -jnp.inf, jnp.float32),
-            jnp.zeros((n,), jnp.int32))
+    shape = () if block_sum else (n,)
+    init = (jnp.full(shape, -jnp.inf, jnp.float32),
+            jnp.zeros(shape, jnp.int32))
     (best, arg), _ = jax.lax.scan(
         step, init,
-        (off3_ch, off1_ch, valid, jnp.arange(n_chunks, dtype=jnp.int32)))
+        (off3_ch, off1_ch, valid_ch, jnp.arange(n_chunks, dtype=jnp.int32)))
     return best, arg
+
+
+def _score_axis_sharded(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                        interp: str, l_power: int, chunk: int, mesh,
+                        block_sum: bool):
+    """shard_map wrapper around _local_argmax_scan (SURVEY §2.3 P3/P7).
+
+    Each device streams its own contiguous grid slice with ZERO per-chunk
+    communication over 'grid'; channels shard over 'chan' (the C
+    contraction becomes one small psum per chunk); the only 'grid'
+    collective is the final all-gather of per-device (best, arg) pairs —
+    a few bytes per device. Tie-break: jnp.argmax over the [nd, ...]
+    gathered bests picks the lowest device index, which holds the earliest
+    grid slice — identical to the single-device first-occurrence rule.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    nd = int(mesh.shape["grid"])
+    nc = int(mesh.shape.get("chan", 1))
+    g = off3.shape[0]
+    local_g = -(-g // nd)
+    pad = local_g * nd - g
+    off3p = jnp.pad(off3, ((0, pad), (0, 0)))
+    off1p = jnp.pad(off1, ((0, pad),))
+    validp = jnp.arange(local_g * nd) < g
+
+    has_r0 = r0 is not None
+    r0_in = r0 if has_r0 else jnp.zeros_like(centers)
+    chan_split = nc > 1 and centers.shape[-1] % nc == 0
+    cspec3 = P(None, "chan", None) if chan_split else P()
+    cspec2 = P(None, "chan") if chan_split else P()
+
+    def local(win, los, cen, coe, r0l, o3, o1, val):
+        best, arg = _local_argmax_scan(
+            win, los, cen, coe, r0l if has_r0 else None, o3, o1, val,
+            interp, l_power, chunk, block_sum,
+            psum_axis="chan" if chan_split else None)
+        k = jax.lax.axis_index("grid").astype(jnp.int32)
+        arg = arg + k * np.int32(local_g)
+        bests = jax.lax.all_gather(best, "grid")        # [nd, ...]
+        args = jax.lax.all_gather(arg, "grid")
+        sel = jnp.argmax(bests, axis=0)
+        return (jnp.take_along_axis(bests, sel[None], 0)[0],
+                jnp.take_along_axis(args, sel[None], 0)[0])
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(cspec3, cspec3, cspec2, cspec2, cspec2,
+                  P("grid", None), P("grid"), P("grid")),
+        out_specs=(P(), P()), check_vma=False,
+    )(win_mag, los_enu, centers, coefs, r0_in, off3p, off1p, validp)
+
+
+def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK,
+                       mesh=None):
+    """Streaming (max, argmax) over the grid without materializing [N, G].
+
+    Returns (best [N] f32, arg [N] i32). With a mesh, each device scans
+    its own grid slice (see _score_axis_sharded)."""
+    if mesh is not None and int(mesh.shape["grid"]) > 1:
+        return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
+                                   off3, off1, interp, l_power, chunk,
+                                   mesh, block_sum=False)
+    return _local_argmax_scan(win_mag, los_enu, centers, coefs, r0,
+                              off3, off1, None, interp, l_power, chunk,
+                              block_sum=False, psum_axis=None)
 
 
 def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
@@ -534,26 +595,13 @@ def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
     Streams grid chunks (peak memory independent of G) and reduces the
     block axis inside each chunk. Returns (best f32, arg i32) scalars.
     """
-    off3_ch, off1_ch, valid, chunk = _chunked_grid(off3, off1, chunk, mesh)
-
-    def step(carry, xs):
-        best, arg = carry
-        o3, o1, vmask, k = xs
-        scores = jnp.sum(_score_chunk(win_mag, los_enu, centers, coefs, r0,
-                                      o3, o1, interp, l_power), axis=0)
-        scores = jnp.where(vmask, scores, -jnp.inf)     # [chunk]
-        cb = jnp.max(scores)
-        ca = jnp.argmax(scores).astype(jnp.int32) + k * chunk
-        take = cb > best
-        return (jnp.where(take, cb, best),
-                jnp.where(take, ca, arg).astype(jnp.int32)), None
-
-    n_chunks = off3_ch.shape[0]
-    init = (jnp.float32(-jnp.inf), jnp.int32(0))
-    (best, arg), _ = jax.lax.scan(
-        step, init,
-        (off3_ch, off1_ch, valid, jnp.arange(n_chunks, dtype=jnp.int32)))
-    return best, arg
+    if mesh is not None and int(mesh.shape["grid"]) > 1:
+        return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
+                                   off3, off1, interp, l_power, chunk,
+                                   mesh, block_sum=True)
+    return _local_argmax_scan(win_mag, los_enu, centers, coefs, r0,
+                              off3, off1, None, interp, l_power, chunk,
+                              block_sum=True, psum_axis=None)
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",

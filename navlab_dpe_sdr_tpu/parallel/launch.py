@@ -38,46 +38,71 @@ def global_mesh(n_chan: int = 1):
     return make_mesh(n_chan=n_chan, devices=jax.devices())
 
 
-def scaling_bench(mesh, n_iters: int = 50, grid_scale: int = 1):
-    """Grid-points/s throughput of the sharded scoring step on this mesh —
-    the BASELINE scaling-efficiency metric. Runs the fused real-engine step
-    with a spread grid replicated `grid_scale` times along the grid axis."""
+def scaling_bench(mesh, n_iters: int = 3, grid_scale: int = 1,
+                  n_blocks: int = 5):
+    """Grid-points/s throughput of the sharded batched DPE path on this
+    mesh — the BASELINE scaling-efficiency metric, measured on the product
+    hot path (dpe_batch_blocks: correlation + shard_map streaming-argmax
+    manifold scoring) with a spread grid replicated `grid_scale` times
+    along the grid axis. mesh=None measures the single-device path."""
+    import os
+    import sys
     import time
 
     import jax
     import jax.numpy as jnp
 
-    import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
     import __graft_entry__ as ge
-    from .mesh import sharded_dpe_step_real
-
     from ..models.grid import spread_grid
+    from ..ops import dpe_real as dr
+
+    c, s = 8, 50000
+    args, meta = ge._example_args(c=c, s=s)
+    (raw_re, raw_im, chips, base0, rc_mid, idx_next, fi, ri, time_idc,
+     pos_start, vel_start, params) = args[:12]
+
+    rng = np.random.default_rng(7)
+    raw_all = rng.integers(-2048, 2048, (n_blocks, s, 2)).astype(np.int16)
+    fpk = np.zeros((n_blocks, dr.FPK_ROWS, c), np.float32)
+    ipk = np.zeros((n_blocks, dr.IPK_ROWS, c), np.int32)
+    fpk[:, 0] = np.asarray(rc_mid)
+    fpk[:, 1] = np.asarray(fi)
+    fpk[:, 2] = np.asarray(ri)
+    fpk[:, 3:6] = np.asarray(params.los_enu).T
+    fpk[:, 6] = np.asarray(params.r0)
+    fpk[:, 7] = np.asarray(params.pos_center)
+    fpk[:, 8] = np.asarray(params.pos_coef)
+    fpk[:, 9] = np.asarray(params.vel_center)
+    fpk[:, 10] = np.asarray(params.vel_coef)
+    ipk[:, 0] = np.asarray(idx_next)
+    ipk[:, 1] = np.asarray(pos_start)
+    ipk[:, 2] = np.asarray(vel_start)
+
     g = spread_grid()
-    d_enu = np.tile(g.d_enu, (grid_scale, 1))
-    dt = np.tile(g.dt_m, grid_scale)
-    dv = np.tile(g.dv_enu, (grid_scale, 1))
-    dtd = np.tile(g.dtdot, grid_scale)
+    d_enu = jnp.asarray(np.tile(g.d_enu, (grid_scale, 1)).astype(np.float32))
+    dt_m = jnp.asarray(np.tile(g.dt_m, grid_scale).astype(np.float32))
+    dv_enu = jnp.asarray(np.tile(g.dv_enu, (grid_scale, 1)).astype(np.float32))
+    dtdot = jnp.asarray(np.tile(g.dtdot, grid_scale).astype(np.float32))
 
-    args, meta = ge._example_args(c=8, s=50000)
-    args = list(args)
-    args[-4] = jnp.asarray(d_enu.astype(np.float32))
-    args[-3] = jnp.asarray(dt.astype(np.float32))
-    args[-2] = jnp.asarray(dv.astype(np.float32))
-    args[-1] = jnp.asarray(dtd.astype(np.float32))
+    def call():
+        return dr.dpe_batch_blocks(
+            jnp.asarray(raw_all), 0, jnp.asarray(fpk), jnp.asarray(ipk),
+            chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
+            carr_fftpts=meta["carr_fftpts"], period=meta["period"],
+            n_periods=meta["n_periods"], n_blocks=n_blocks,
+            return_windows=False, mesh=mesh)
 
-    step = sharded_dpe_step_real(mesh, **meta)
-    with mesh:
-        out = step(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = step(*args)
-        jax.block_until_ready(out)
-        dt_s = (time.perf_counter() - t0) / n_iters
-    n_pts = d_enu.shape[0] + dv.shape[0]
+    jax.block_until_ready(call())                       # warm
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = call()
+    jax.block_until_ready(out)
+    dt_s = (time.perf_counter() - t0) / n_iters / n_blocks
+    n_pts = d_enu.shape[0] + dv_enu.shape[0]
     return {"sec_per_block": dt_s, "grid_points_per_s": n_pts / dt_s,
-            "devices": mesh.devices.size}
+            "devices": 1 if mesh is None else int(mesh.devices.size)}
 
 
 def main(argv=None):
