@@ -135,19 +135,29 @@ def cmd_dpe(args):
     if args.grid_csv:
         grid = load_grid_csv(args.grid_csv)
     else:
-        grid = make_grid(args.grid)
-    eph = None
+        gkw = {}
+        if args.grid_n:
+            gkw["n"] = args.grid_n
+        if args.grid_spacing:
+            gkw["pos_spacing"] = args.grid_spacing
+        if args.grid_vel_spacing:
+            gkw["vel_spacing"] = args.grid_vel_spacing
+        if args.grid == "spread" and gkw:
+            raise SystemExit("--grid-n/--grid-spacing apply to "
+                             "uniform/arthur/dense grids only")
+        grid = make_grid(args.grid, **gkw)
+        print(f"grid: {args.grid} {grid.n_pos} pos + {grid.n_vel} vel points")
+    eph_manager = None
     if args.rinex:
+        # hold EVERY record per PRN; the receiver re-selects the
+        # closest-toe valid set each block (cuchanmgr.cu:240-306)
         from .libgnss import rinex as rinex_mod
-        from .libgnss.ephemeris import EphArray
-        table = rinex_mod.load_ephemerides(args.rinex, hand.prn_list,
-                                           tow=hand.rx_time)
-        for i, prn in enumerate(hand.prn_list):
-            table[prn].tow_timestamp = hand.tow[i]
-            table[prn].cp_timestamp = hand.cp_timestamp[i]
-        eph = EphArray([table[p] for p in hand.prn_list])
+        from .libgnss.ephemeris import EphManager
+        eph_manager = EphManager(rinex_mod.parse_rinex_nav(args.rinex),
+                                 hand.prn_list)
 
-    rx = DPEReceiver(rf, hand, grid=grid, config=cfg, eph=eph)
+    rx = DPEReceiver(rf, hand, grid=grid, config=cfg,
+                     eph_manager=eph_manager)
     n_blocks = args.blocks
 
     profile_ctx = None
@@ -361,7 +371,17 @@ def main(argv=None):
     pd.add_argument("--ds", type=float, default=1.0)
     pd.add_argument("--blocks", type=int, default=1500)
     pd.add_argument("--grid", default="spread",
-                    choices=["spread", "uniform", "arthur"])
+                    choices=["spread", "uniform", "arthur", "dense"],
+                    help="dense = reference-cap 75^4+75^4 uniform grid "
+                         "(63.3M points, BCM_MAX_GRID_SIZE); tune with "
+                         "--grid-n/--grid-spacing")
+    pd.add_argument("--grid-n", type=int, metavar="N",
+                    help="points per axis for uniform/arthur/dense (N^4 "
+                         "per manifold, capped at 2*75^4 total)")
+    pd.add_argument("--grid-spacing", type=float, metavar="M",
+                    help="position grid spacing [m]")
+    pd.add_argument("--grid-vel-spacing", type=float, metavar="MPS",
+                    help="velocity grid spacing [m/s]")
     pd.add_argument("--grid-csv", help="custom ENU grid CSV (rngrid3-style)")
     pd.add_argument("--out", help="nav CSV output")
     pd.add_argument("--weekno", type=int, default=2008)

@@ -87,6 +87,64 @@ class EphArray:
         return len(self.ephs)
 
 
+def _week_wrap(dt: np.ndarray | float):
+    """Signed seconds-of-week difference (cuchanmgr.cu:26-31)."""
+    return np.mod(np.asarray(dt) + 302400.0, 604800.0) - 302400.0
+
+
+class EphManager:
+    """Per-block ephemeris-set selection over all parsed nav records.
+
+    CUDARecv holds a vector<ephSet_t> on device and re-selects the
+    closest-toe, valid (healthy, within fit interval) set per block per
+    PRN (cuchanmgr.cu:240-306; grouping rinexparse.cpp:20-58); a run
+    spanning an ephemeris cutover must pick up the fresh orbits without a
+    fix glitch. The receiver-local decode anchors (tow/cp_timestamp) are
+    channel state, not orbit state, so they are preserved across set
+    switches.
+    """
+
+    def __init__(self, table: dict[int, list[Ephemeris]], prn_list,
+                 fit_interval_s: float = 7200.0, slop_s: float = 1800.0):
+        self.prn_list = [int(p) for p in prn_list]
+        self.table = {}
+        for p in self.prn_list:
+            recs = table.get(p)
+            if not recs:
+                raise KeyError(f"no ephemeris records for PRN {p}")
+            self.table[p] = sorted(recs, key=lambda e: (e.t_oe, e.t_oc))
+        self.fit_s = float(fit_interval_s) + float(slop_s)
+        self._anchor_tow = np.zeros(len(self.prn_list))
+        self._anchor_cp = np.zeros(len(self.prn_list))
+        self.current_idx: list[int] | None = None
+
+    def set_anchors(self, tow_timestamp, cp_timestamp) -> None:
+        """Channel decode anchors (from the handoff / bit sync), carried
+        onto every EphArray this manager builds."""
+        self._anchor_tow = np.asarray(tow_timestamp, dtype=np.float64).copy()
+        self._anchor_cp = np.asarray(cp_timestamp, dtype=np.float64).copy()
+
+    def _pick(self, recs: list[Ephemeris], tow: float) -> int:
+        dts = np.abs(_week_wrap(np.array([e.t_oe for e in recs]) - tow))
+        order = [(not (e.health == 0 and dts[i] <= self.fit_s),  # valid first
+                  e.health != 0,                                 # healthy next
+                  dts[i], i) for i, e in enumerate(recs)]
+        return min(order)[3]
+
+    def select(self, tow: float) -> tuple["EphArray", bool]:
+        """(EphArray for time-of-week `tow`, whether selection changed)."""
+        idx = [self._pick(self.table[p], tow) for p in self.prn_list]
+        changed = idx != self.current_idx
+        self.current_idx = idx
+        ephs = []
+        for k, (p, i) in enumerate(zip(self.prn_list, idx)):
+            e = dataclasses.replace(self.table[p][i])
+            e.tow_timestamp = float(self._anchor_tow[k])
+            e.cp_timestamp = float(self._anchor_cp[k])
+            ephs.append(e)
+        return EphArray(ephs), changed
+
+
 # ---------------------------------------------------------------------------
 # LNAV word / subframe decoding (IS-GPS-200 sections 20.3.2 - 20.3.3).
 # ---------------------------------------------------------------------------

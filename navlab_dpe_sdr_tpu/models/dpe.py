@@ -36,7 +36,7 @@ from ..io.rawfile import SampleFile
 from ..ops import dpe as dpe_ops
 from ..ops import dpe_real as dpe_real_ops
 from .ekf import NavEKF
-from .grid import Grid, spread_grid
+from .grid import Grid, check_grid_size, spread_grid
 
 
 @dataclass
@@ -86,14 +86,22 @@ class DPEReceiver:
 
     def __init__(self, rawfile: SampleFile, handoff: Handoff,
                  grid: Grid | None = None, config: DPEConfig | None = None,
-                 eph: EphArray | None = None):
+                 eph: EphArray | None = None, eph_manager=None):
         self.rawfile = rawfile
         self.cfg = config or DPEConfig()
-        self.grid = grid or spread_grid()
+        self.grid = check_grid_size(grid or spread_grid())
         self.prn_list = list(handoff.prn_list)
         c = len(self.prn_list)
 
-        self.eph = eph if eph is not None else handoff.eph_array()
+        # ephemeris: either a fixed per-PRN set, or an EphManager holding
+        # every parsed record with per-block closest-toe re-selection
+        # (cuchanmgr.cu:240-306)
+        self.eph_manager = eph_manager
+        if eph_manager is not None:
+            eph_manager.set_anchors(handoff.tow, handoff.cp_timestamp)
+            self.eph, _ = eph_manager.select(float(handoff.rx_time))
+        else:
+            self.eph = eph if eph is not None else handoff.eph_array()
         assert len(self.eph) == c
 
         # channel state (float64 host)
@@ -272,7 +280,18 @@ class DPEReceiver:
 
     # -- the block step ----------------------------------------------------
 
+    def _maybe_reselect_eph(self):
+        """Per-block closest-toe ephemeris-set re-selection (reference
+        CHM_ComputeSatStates, cuchanmgr.cu:276-292). On a set switch the
+        satellite-state cache is rebuilt from the fresh orbits."""
+        if self.eph_manager is None:
+            return
+        self.eph, changed = self.eph_manager.select(self.rx_time)
+        if changed:
+            self._sat_cache = None
+
     def step(self, raw_block: np.ndarray | None = None) -> DPEFix:
+        self._maybe_reselect_eph()
         rf = self.rawfile
         if raw_block is None:
             if rf.S_skip:
@@ -437,6 +456,7 @@ class DPEReceiver:
         """Host prep for one block: time update, channel prediction,
         manifold geometry — packed for the batched device scan. Does NOT
         apply measurement feedback (the batch does that at its boundary)."""
+        self._maybe_reselect_eph()
         self.ekf.time_update()
         self.rx_time += self.cfg.T
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C

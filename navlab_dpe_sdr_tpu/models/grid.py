@@ -25,6 +25,12 @@ _SPREAD_POS = np.array([-22, -19, -16, -13, -10, -7, -6, -5, -4, -3, -2, -1,
                        dtype=np.float64)
 _SPREAD_VEL = np.arange(-12, 13, dtype=np.float64)
 
+# Reference hard cap: BCM_MAX_GRID_SIZE = 2 * 75^4 total manifold points
+# (/root/reference/cudarecv/modules/src/batchcorrmanifold.h:17). The
+# streaming-argmax scorer keeps peak memory independent of grid size, so
+# this is a parity guard (and a sanity rail), not a memory limit.
+MAX_GRID_POINTS = 2 * 75 ** 4
+
 
 @dataclass
 class Grid:
@@ -116,11 +122,37 @@ def load_grid_csv(path: str, vel_grid: Grid | None = None) -> Grid:
     return Grid(d_enu=d_enu, dt_m=dt, dv_enu=v.dv_enu, dtdot=v.dtdot)
 
 
+def dense_grid(n: int = 75, pos_spacing: float = 1.0,
+               vel_spacing: float = 0.1) -> Grid:
+    """Reference-cap-scale uniform grid: n^4 pos + n^4 vel points.
+
+    Defaults give the reference's maximum supported manifold (2*75^4 ~
+    63.3M points, batchcorrmanifold.h:17) at its default 1.0 m spacing
+    (dpeflow.cpp:83-86) — the regime where mesh sharding pays."""
+    return uniform_grid(n=n, pos_spacing=pos_spacing,
+                        vel_spacing=vel_spacing)
+
+
+def check_grid_size(grid: Grid) -> Grid:
+    """Reference-parity guard (batchcorrmanifold.h:17, enforced at
+    BCM Start, batchcorrmanifold.cu:2315-2325)."""
+    total = grid.n_pos + grid.n_vel
+    if total > MAX_GRID_POINTS:
+        raise ValueError(
+            f"grid has {total} points; cap is 2*75^4 = {MAX_GRID_POINTS} "
+            "(reference BCM_MAX_GRID_SIZE)")
+    return grid
+
+
 def make_grid(style: str = "spread", **kw) -> Grid:
     if style == "spread":
-        return spread_grid(**kw)
-    if style == "uniform":
-        return uniform_grid(**kw)
-    if style == "arthur":
-        return arthur_grid(**kw)
-    raise ValueError(f"unknown grid style {style!r}")
+        g = spread_grid(**kw)
+    elif style == "uniform":
+        g = uniform_grid(**kw)
+    elif style == "arthur":
+        g = arthur_grid(**kw)
+    elif style == "dense":
+        g = dense_grid(**kw)
+    else:
+        raise ValueError(f"unknown grid style {style!r}")
+    return check_grid_size(g)
