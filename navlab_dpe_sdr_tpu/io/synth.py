@@ -86,7 +86,7 @@ class CaptureSimulator:
                  cn0_dbhz=45.0, sigma: float = 32.0,
                  clock_drift: float = 0.0, nav_data: bool = True,
                  bandwidth_hz: float | None = 2.2e6,
-                 seed: int = 7):
+                 accel_ecef=None, seed: int = 7):
         self.eph = eph_arr
         self.k = len(eph_arr)
         self.rx = np.asarray(rx_state_ecef, dtype=np.float64).reshape(-1)
@@ -98,6 +98,9 @@ class CaptureSimulator:
                                    (self.k,)).copy()
         self.sigma = float(sigma)
         self.drift = float(clock_drift)   # receiver clock drift [s/s]
+        # constant ECEF acceleration [m/s^2] (maneuvering-receiver tests)
+        self.accel = (np.zeros(3) if accel_ecef is None
+                      else np.asarray(accel_ecef, dtype=np.float64))
         self.nav_data = nav_data
         # front-end bandwidth (double-sided). A real RF chain bandlimits the
         # rectangular chips, rounding the correlation peak — without this the
@@ -142,9 +145,10 @@ class CaptureSimulator:
                 sx = co * s[0] - so * s[1]
                 sy = so * s[0] + co * s[1]
                 sz = s[2]
-                px = rx_pos[0] + rx_vel[0] * (t_rx_nodes - self.tow0)
-                py = rx_pos[1] + rx_vel[1] * (t_rx_nodes - self.tow0)
-                pz = rx_pos[2] + rx_vel[2] * (t_rx_nodes - self.tow0)
+                dt_rx = t_rx_nodes - self.tow0
+                px = rx_pos[0] + rx_vel[0] * dt_rx + 0.5 * self.accel[0] * dt_rx ** 2
+                py = rx_pos[1] + rx_vel[1] * dt_rx + 0.5 * self.accel[1] * dt_rx ** 2
+                pz = rx_pos[2] + rx_vel[2] * dt_rx + 0.5 * self.accel[2] * dt_rx ** 2
                 r = np.sqrt((sx - px) ** 2 + (sy - py) ** 2 + (sz - pz) ** 2)
                 t_sv = t_rx_nodes + clkb - r / C
             # store the small delay d = t_sv - t_rx: full float64 resolution

@@ -79,6 +79,10 @@ class DPEConfig:
                                        # manifold scoring shards over grid
                                        # points, correlation over channels
                                        # (SURVEY §2.3 P3/P7). None = 1 device.
+    ekf_q_accel: float = 1.0           # accel PSD [m^2/s^3] for ekf_mode=
+                                       # "full" (white-accel PV process)
+    ekf_q_pos: float = 25.0            # pos/clock random-walk PSD [m^2/s]
+                                       # (correlated-argmax inflation floor)
 
 
 class DPEReceiver:
@@ -113,7 +117,9 @@ class DPEReceiver:
 
         self.rx_time = float(handoff.rx_time)
         self.ekf = NavEKF(handoff.x_ecef, T=self.cfg.T,
-                          mode=self.cfg.ekf_mode, alpha=self.cfg.ekf_alpha)
+                          mode=self.cfg.ekf_mode, alpha=self.cfg.ekf_alpha,
+                          q_accel=self.cfg.ekf_q_accel,
+                          q_pos=self.cfg.ekf_q_pos)
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
 
         rawfile.seek_bytes(handoff.bytes_read)
@@ -135,6 +141,21 @@ class DPEReceiver:
             self._base0 = jnp.asarray(
                 (np.arange(self.period) / rawfile.fs * F_CA)
                 .astype(np.float32))
+
+        # per-axis grid lattice variance (ENU+clock), for the adaptive-R
+        # quantization floor: uniform-quantizer variance spacing^2/12
+        def _lat_var(vals):
+            d = np.diff(np.unique(np.round(np.asarray(vals), 6)))
+            d = d[d > 0]
+            s = float(d.min()) if d.size else 1.0
+            return s * s / 12.0
+
+        self._lat_var_pos = np.array(
+            [_lat_var(self.grid.d_enu[:, j]) for j in range(3)]
+            + [_lat_var(self.grid.dt_m)])
+        self._lat_var_vel = np.array(
+            [_lat_var(self.grid.dv_enu[:, j]) for j in range(3)]
+            + [_lat_var(self.grid.dtdot)])
 
         # device-resident grid
         g = self.grid
@@ -405,8 +426,17 @@ class DPEReceiver:
         z[4:7] += r_e2n.T @ dv_enu
         z[7] += dtdot
 
-        # 5. EKF measurement update
-        self.ekf.measurement_update(z)
+        # 5. EKF measurement update (full mode: adaptive R from the score
+        #    surface curvature — the real engine returns the windows)
+        r_meas = None
+        if self.cfg.ekf_mode == "full" and code_mag is not None:
+            r_meas = self._adaptive_r(
+                np.asarray(code_mag), np.asarray(carr_mag),
+                pos_idx_c - pos_start, pos_coef,
+                vel_idx_c - vel_start, vel_coef, los_enu,
+                np.concatenate([d_enu, [dt]]),
+                np.concatenate([dv_enu, [dtdot]]), r_e2n)
+        self.ekf.measurement_update(z, R=r_meas)
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
 
         # 6. back-calculate channel frequencies from the updated state
@@ -529,15 +559,85 @@ class DPEReceiver:
                 d = np.clip(d, -span, span)
         return d
 
+    @staticmethod
+    def _measurement_cov(win_mag, center, coef, los_enu, d, lat_var4):
+        """Per-axis DPE measurement covariance from the score-surface
+        curvature at the measured offset (ENU+clock coordinates).
+
+        The argmax displacement under score noise is delta ~= -H^{-1} grad,
+        so Cov(delta) = H^{-1} G H^{-1} with H the summed-score Hessian
+        (3-point second differences per channel, projected through the
+        manifold geometry) and G the gradient-noise covariance (per-channel
+        window noise estimated from off-peak second differences). A grid
+        quantization floor spacing^2/12 is added per axis. Replaces the
+        reference's RVal = I placeholder (batchcorrmanifold.cu:2068).
+        """
+        c, w = win_mag.shape
+        g = np.concatenate([-los_enu, np.ones((c, 1))], axis=1)  # [C, 4]
+        idx = center + coef * (g @ d)
+        k0 = np.clip(np.round(idx), 1, w - 2).astype(int)
+        ar = np.arange(c)
+        y0 = win_mag[ar, k0 - 1]
+        y1 = win_mag[ar, k0]
+        y2 = win_mag[ar, k0 + 1]
+        q2 = y2 - 2.0 * y1 + y0                  # d2(score)/d(idx)^2
+        hess = (g.T * (q2 * coef * coef)) @ g    # [4,4] (negative definite)
+        # per-channel score noise: 2nd differences away from the peak have
+        # var = 6 sigma^2 for iid window noise
+        d2 = win_mag[:, 2:] - 2.0 * win_mag[:, 1:-1] + win_mag[:, :-2]
+        cols = np.arange(1, w - 1)[None, :]
+        tail = np.abs(cols - k0[:, None]) > 2
+        sig2 = np.where(
+            tail.any(axis=1),
+            np.sum(d2 * d2 * tail, axis=1) / np.maximum(tail.sum(axis=1), 1)
+            / 6.0,
+            np.mean(d2 * d2, axis=1) / 6.0)
+        gvar = 0.5 * sig2 * coef * coef          # central-diff gradient var
+        gmat = (g.T * gvar) @ g
+        floor = np.diag(lat_var4)
+        try:
+            hinv = np.linalg.inv(hess - 1e-9 * np.eye(4))
+        except np.linalg.LinAlgError:
+            return floor * 4.0
+        cov = hinv @ gmat @ hinv
+        cov = 0.5 * (cov + cov.T) + floor
+        evals, evecs = np.linalg.eigh(cov)
+        evals = np.clip(evals, lat_var4.min() * 0.25, 1e6)
+        return (evecs * evals) @ evecs.T
+
+    def _adaptive_r(self, code_mag, carr_mag, pos_center, pos_coef,
+                    vel_center, vel_coef, los_enu, dp4, dv4, r_e2n):
+        """8x8 ECEF measurement covariance for the full EKF."""
+        rp = self._measurement_cov(code_mag, pos_center, pos_coef,
+                                   los_enu, dp4, self._lat_var_pos)
+        rv = self._measurement_cov(carr_mag, vel_center, vel_coef,
+                                   los_enu, dv4, self._lat_var_vel)
+        t4 = np.eye(4)
+        t4[0:3, 0:3] = r_e2n.T
+        r = np.zeros((8, 8))
+        r[0:4, 0:4] = t4 @ rp @ t4.T
+        r[4:8, 4:8] = t4 @ rv @ t4.T
+        return r
+
     def _apply_measurement(self, pa: int, va: int, r_e2n, rx_time, mc,
-                           pos_peak, vel_peak, flip_row, x_pred):
+                           pos_peak, vel_peak, flip_row, x_pred,
+                           fpk=None, code_mag=None, carr_mag=None):
         # offsets are relative to the prediction the scoring used
         z = np.asarray(x_pred, dtype=np.float64).copy()
         z[0:3] += r_e2n.T @ self.grid.d_enu[pa]
         z[3] += self.grid.dt_m[pa]
         z[4:7] += r_e2n.T @ self.grid.dv_enu[va]
         z[7] += self.grid.dtdot[va]
-        self.ekf.measurement_update(z)
+        r_meas = None
+        if (self.cfg.ekf_mode == "full" and code_mag is not None
+                and fpk is not None):
+            r_meas = self._adaptive_r(
+                code_mag, carr_mag, fpk[7], fpk[8], fpk[9], fpk[10],
+                fpk[3:6].T,
+                np.concatenate([self.grid.d_enu[pa], [self.grid.dt_m[pa]]]),
+                np.concatenate([self.grid.dv_enu[va],
+                                [self.grid.dtdot[va]]]), r_e2n)
+        self.ekf.measurement_update(z, R=r_meas)
         self.flip_log.append(flip_row)
         fix = DPEFix(mc=mc, rx_time=rx_time,
                      rx_time_a=rx_time - self.ekf.x[3] / C,
@@ -567,7 +667,8 @@ class DPEReceiver:
             period=self.period, n_periods=self.S // self.period,
             n_blocks=n, l_power=self.cfg.l_power,
             interp=self.cfg.interp,
-            return_windows=(self.cfg.refine == "newton"),
+            return_windows=(self.cfg.refine == "newton"
+                            or self.cfg.ekf_mode == "full"),
             mesh=self.cfg.mesh)
         return out, preps
 
@@ -581,7 +682,7 @@ class DPEReceiver:
         vas = rows[:, 2].astype(np.int64)
         vps = rows[:, 3]
         flips = rows[:, 4:4 + c]
-        if rows.shape[1] > 4 + c:       # windows present (refine="newton")
+        if rows.shape[1] > 4 + c:       # windows present (refine / full EKF)
             code_mags = rows[:, 4 + c:4 + c + c * cw].reshape(-1, c, cw)
             carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
         else:
@@ -596,7 +697,11 @@ class DPEReceiver:
             else:
                 self._apply_measurement(int(pas[i]), int(vas[i]), r_e2n,
                                         rx_time, mc, pps[i], vps[i],
-                                        flips[i], x_pred)
+                                        flips[i], x_pred, fpk=fpk,
+                                        code_mag=(None if code_mags is None
+                                                  else code_mags[i]),
+                                        carr_mag=(None if carr_mags is None
+                                                  else carr_mags[i]))
         # steer channel frequencies from the newest state at the current epoch
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
         self._update_channels_from_state()
@@ -615,7 +720,12 @@ class DPEReceiver:
         z[3] += dp[3]
         z[4:7] += r_e2n.T @ dv[0:3]
         z[7] += dv[3]
-        self.ekf.measurement_update(z)
+        r_meas = None
+        if self.cfg.ekf_mode == "full":
+            r_meas = self._adaptive_r(code_mag, carr_mag, fpk[7], fpk[8],
+                                      fpk[9], fpk[10], los_enu, dp, dv,
+                                      r_e2n)
+        self.ekf.measurement_update(z, R=r_meas)
         self.flip_log.append(flip_row)
         fix = DPEFix(mc=mc, rx_time=rx_time,
                      rx_time_a=rx_time - self.ekf.x[3] / C,

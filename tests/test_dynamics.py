@@ -52,6 +52,45 @@ def test_dpe_tracks_moving_receiver():
     assert np.median(vels[5:]) < 2.5, [round(v, 2) for v in vels]
 
 
+def test_full_ekf_beats_alpha_under_maneuver():
+    """Accelerating receiver (~5.4 m/s^2): the tuned full EKF (velocity
+    coupling + adaptive R from the score-surface curvature) must beat the
+    fixed-gain alpha smoother, which lags any velocity ramp.
+
+    Reference never achieves this: CUDARecv ships EnableEKF=false and
+    RVal = I (cuekf.cu:147-159, batchcorrmanifold.cu:2068)."""
+    sim, hand, arr = make_scenario(nav_data=True)
+    vel = np.array([10.0, -8.0, 5.0])
+    acc = np.array([4.0, 3.0, -2.0])
+    rx_state = hand.x_ecef.copy()
+    rx_state[4:7] = vel
+    sim2 = CaptureSimulator(arr, rx_state, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=47.0, nav_data=True,
+                            accel_ecef=acc, seed=7)
+    n_blocks = 60
+    iq = sim2.generate(50000 * n_blocks)
+    samples = _to_iq(iq)
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef = rx_state.copy()
+
+    p0 = rx_state[0:3]
+    rms = {}
+    for mode in ("alpha", "full"):
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                         copy.deepcopy(hand2), grid=spread_grid(),
+                         eph=copy.deepcopy(arr),
+                         config=DPEConfig(ekf_mode=mode, ekf_alpha=0.3))
+        rx.run_batched(n_blocks, lookahead=10)
+        errs = []
+        for f in rx.fixes:
+            t_el = f.rx_time - hand.rx_time
+            truth = p0 + vel * t_el + 0.5 * acc * t_el ** 2
+            errs.append(np.linalg.norm(f.x_ecef[0:3] - truth))
+        rms[mode] = float(np.sqrt(np.mean(np.square(errs))))
+    assert rms["full"] < 5.0, rms
+    assert rms["full"] < 0.85 * rms["alpha"], rms
+
+
 def test_dpe_tracks_clock_drift():
     """Receiver oscillator drift of 5e-8 s/s (~15 m/s of clock ramp).
 
