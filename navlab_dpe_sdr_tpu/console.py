@@ -1,23 +1,36 @@
 """Interactive console: flow management shell.
 
 The reference drives CUDARecv through a readline console with
-prefix-abbreviated commands (NEWFlow/LOADFlow/SETParam/STARTFlow/...,
-cmdParser.cpp:28-40, cmdFlow.h:36-47) plus nested `dofile` scripts. Same
-surface here over the DPE receiver:
+prefix-abbreviated commands (NEWFlow/DELFlow/STARTFlow/STOPFlow/LOADFlow/
+ADDAlias/ACTFlow/SETParam/LSFlow/PRINTport + Quit/HIStory/HELp/DOfile,
+cmdParser.cpp:28-46, cmdFlow.cpp:21-32) plus nested `dofile` scripts, and
+runs each flow on its own thread with stop/join semantics (flow.cu:89-103).
+Same surface here over the DPE receiver:
 
   newflow <name> <capture> <handoff>     create a flow
-  setparam <name> <key> <value>          DPEConfig override (pre-start)
-  startflow <name> [blocks]              run it
+  loadflow <name> <params.json>          load DPEConfig overrides from JSON
+  setparam [<name>] <key> <value>        DPEConfig override (pre-start)
+  startflow [<name>] [blocks] [&]        run it (& = background thread)
+  stopflow [<name> ...]                  stop a running background flow
+  delflow <name> ...                     stop + delete flows
+  lsflow                                 list flows and their state
+  addalias <name> <alias>                alternate name for a flow
+  actflow <name>                         set the default (active) flow
   status [<name>]                        fixes/stats so far
-  printport <name> <attr>                peek receiver state (rc/fi/x/...)
+  printport [<name>] <attr>              peek receiver state (rc/fi/x/...)
+  history                                show command history
   dofile <script>                        run commands from a file
   quit
+
+Any unambiguous command prefix is accepted (e.g. `startf`, `lsf`, `q`).
 """
 
 from __future__ import annotations
 
 import cmd
+import json
 import shlex
+import threading
 
 import numpy as np
 
@@ -29,6 +42,13 @@ class _Flow:
         self.overrides = {}
         self.rx = None
         self.stats = None
+        self.runner = None
+        self.thread: threading.Thread | None = None
+        self.error: Exception | None = None
+
+    @property
+    def running(self) -> bool:
+        return self.thread is not None and self.thread.is_alive()
 
     def build(self):
         from .io.handoff import read_handoff
@@ -44,16 +64,64 @@ class _Flow:
 
 
 class Console(cmd.Cmd):
-    intro = ("navlab_dpe_sdr_tpu console. Commands: newflow setparam "
-             "startflow stopflow status printport dofile quit")
+    intro = ("navlab_dpe_sdr_tpu console. Commands: newflow loadflow "
+             "setparam startflow stopflow delflow lsflow addalias actflow "
+             "status printport history dofile quit (unambiguous prefixes ok)")
     prompt = "dpe> "
 
     def __init__(self, **kw):
         super().__init__(**kw)
         self.flows: dict[str, _Flow] = {}
+        self.aliases: dict[str, str] = {}
+        self.active: str | None = None
+        self.history: list[str] = []
 
     def _say(self, *args):
         print(*args, file=self.stdout)
+
+    # -- dispatch helpers --------------------------------------------------
+
+    def precmd(self, line):
+        if line.strip():
+            self.history.append(line)
+        return line
+
+    def default(self, line):
+        """Resolve unambiguous command prefixes (reference regCmd minimal
+        abbreviations, cmdParser.cpp:28-40 — here any unique prefix)."""
+        tok = line.split()[0]
+        rest = line[len(tok):].lstrip()
+        names = sorted({n[3:] for n in self.get_names()
+                        if n.startswith("do_") and n != "do_EOF"})
+        matches = [n for n in names if n.startswith(tok.lower())]
+        if len(matches) == 1:
+            return self.onecmd(f"{matches[0]} {rest}".strip())
+        if matches:
+            self._say(f"ambiguous command {tok!r}: {' '.join(matches)}")
+        else:
+            self._say(f"unknown command: {tok}")
+
+    def _flow(self, name: str | None):
+        """Look up a flow by name or alias; None/'' -> the active flow."""
+        if not name:
+            name = self.active
+            if not name:
+                self._say("no flow named (and no active flow set)")
+                return None, None
+        name = self.aliases.get(name, name)
+        fl = self.flows.get(name)
+        if not fl:
+            self._say(f"no flow {name}")
+        return name, fl
+
+    def _report(self, name, fl):
+        if fl.error is not None:
+            self._say(f"flow {name} failed: {fl.error}")
+            return
+        if fl.stats is not None:
+            self._say(fl.stats.summary())
+        if fl.rx is not None and fl.rx.fixes:
+            self._say(f"final fix {fl.rx.fixes[-1].x_ecef[:3]}")
 
     # -- commands ----------------------------------------------------------
 
@@ -65,18 +133,41 @@ class Console(cmd.Cmd):
             self._say("usage: newflow <name> <capture> <handoff>")
             return
         self.flows[name] = _Flow(capture, handoff)
+        if self.active is None:
+            self.active = name
         self._say(f"flow {name} created")
 
-    def do_setparam(self, line):
-        """setparam <flow> <key> <value>  (DPEConfig fields, pre-start)"""
+    def do_loadflow(self, line):
+        """loadflow <flow> <params.json> — bulk DPEConfig overrides
+        (reference LOADFlow settings file, cmdFlow.cpp:91-107)"""
         try:
-            name, key, value = shlex.split(line)
+            name, path = shlex.split(line)
         except ValueError:
-            self._say("usage: setparam <flow> <key> <value>")
+            self._say("usage: loadflow <flow> <params.json>")
             return
-        fl = self.flows.get(name)
+        name, fl = self._flow(name)
         if not fl:
-            self._say(f"no flow {name}")
+            return
+        try:
+            with open(path) as fo:
+                params = json.load(fo)
+        except (OSError, json.JSONDecodeError) as e:
+            self._say(f"loadflow: {e}")
+            return
+        fl.overrides.update(params)
+        self._say(f"{name}: loaded {len(params)} params from {path}")
+
+    def do_setparam(self, line):
+        """setparam [<flow>] <key> <value>  (DPEConfig fields, pre-start)"""
+        parts = shlex.split(line)
+        if len(parts) == 2:
+            parts = [""] + parts
+        if len(parts) != 3:
+            self._say("usage: setparam [<flow>] <key> <value>")
+            return
+        name, key, value = parts
+        name, fl = self._flow(name)
+        if not fl:
             return
         for cast in (int, float):
             try:
@@ -88,53 +179,155 @@ class Console(cmd.Cmd):
         self._say(f"{name}.{key} = {value}")
 
     def do_startflow(self, line):
-        """startflow <flow> [n_blocks]"""
+        """startflow [<flow>] [n_blocks] [&] — & runs in the background
+        (stop with stopflow; reference Flow::Start, flow.cu:70-87)"""
         parts = shlex.split(line)
-        if not parts:
-            self._say("usage: startflow <flow> [blocks]")
-            return
-        name = parts[0]
-        n = int(parts[1]) if len(parts) > 1 else 100
-        fl = self.flows.get(name)
+        background = bool(parts) and parts[-1] == "&"
+        if background:
+            parts = parts[:-1]
+        name = parts[0] if parts and not parts[0].isdigit() else ""
+        nums = [p for p in parts if p.isdigit()]
+        n = int(nums[0]) if nums else 100
+        name, fl = self._flow(name)
         if not fl:
-            self._say(f"no flow {name}")
+            return
+        if fl.running:
+            self._say(f"flow {name} is already running")
             return
         from .runtime.flow import FlowRunner
-        rx = fl.build()
-        runner = FlowRunner(rx.step, watchdog_s=None, max_iterations=n)
-        fl.stats = runner.run(n)
-        self._say(fl.stats.summary())
-        if rx.fixes:
-            self._say(f"final fix {rx.fixes[-1].x_ecef[:3]}")
+        try:
+            rx = fl.build()
+        except Exception as e:
+            self._say(f"startflow: {e}")
+            return
+        fl.error = None
+        fl.runner = FlowRunner(rx.step, watchdog_s=None, max_iterations=n)
+
+        def _run():
+            try:
+                fl.stats = fl.runner.run(n)
+            except Exception as e:   # pragma: no cover - surfaced via status
+                fl.error = e
+
+        fl.thread = threading.Thread(target=_run, daemon=True,
+                                     name=f"flow-{name}")
+        fl.thread.start()
+        if background:
+            self._say(f"flow {name} started")
+        else:
+            fl.thread.join()
+            self._report(name, fl)
+
+    def do_stopflow(self, line):
+        """stopflow [<flow> ...] — stop running background flows
+        (reference Flow::Stop, flow.cu:89-103)"""
+        names = shlex.split(line) or [""]
+        for raw in names:
+            name, fl = self._flow(raw)
+            if not fl:
+                continue
+            if not fl.running:
+                self._say(f"flow {name} wasn't running")
+                continue
+            fl.runner.stop()
+            fl.thread.join()
+            self._say(f"flow {name} stopped after "
+                      f"{fl.runner.stats.n} iterations")
+            self._report(name, fl)
+
+    def do_delflow(self, line):
+        """delflow <flow> ... — stop and delete flows"""
+        names = shlex.split(line)
+        if not names:
+            self._say("usage: delflow <flow> ...")
+            return
+        for raw in names:
+            name, fl = self._flow(raw)
+            if not fl:
+                continue
+            if fl.running:
+                fl.runner.stop()
+                fl.thread.join()
+            del self.flows[name]
+            self.aliases = {a: t for a, t in self.aliases.items() if t != name}
+            if self.active == name:
+                self.active = next(iter(self.flows), None)
+            self._say(f"flow {name} deleted")
+
+    def do_lsflow(self, line):
+        """lsflow — list flows and their state"""
+        if not self.flows:
+            self._say("no flows")
+            return
+        for name, fl in self.flows.items():
+            state = ("running" if fl.running
+                     else "failed" if fl.error is not None
+                     else "done" if fl.stats is not None else "new")
+            marks = [a for a, t in self.aliases.items() if t == name]
+            alias_s = f" aliases={','.join(marks)}" if marks else ""
+            act = " *" if name == self.active else ""
+            self._say(f"{name}{act}: {state} capture={fl.capture}"
+                      f"{alias_s} overrides={fl.overrides}")
+
+    def do_addalias(self, line):
+        """addalias <flow> <alias> (reference ADDAlias, cmdFlow.cpp:110-123)"""
+        try:
+            name, alias = shlex.split(line)
+        except ValueError:
+            self._say("usage: addalias <flow> <alias>")
+            return
+        name, fl = self._flow(name)
+        if not fl:
+            return
+        self.aliases[alias] = name
+        self._say(f"{alias} -> {name}")
+
+    def do_actflow(self, line):
+        """actflow <flow> — set the active (default) flow"""
+        name, fl = self._flow(line.strip())
+        if fl:
+            self.active = name
+            self._say(f"active flow: {name}")
 
     def do_status(self, line):
         """status [<flow>]"""
         names = [line.strip()] if line.strip() else list(self.flows)
-        for name in names:
-            fl = self.flows.get(name)
+        for raw in names:
+            name, fl = self._flow(raw)
             if not fl:
-                self._say(f"no flow {name}")
                 continue
             n = len(fl.rx.fixes) if fl.rx else 0
-            self._say(f"{name}: capture={fl.capture} fixes={n} "
-                  f"overrides={fl.overrides}")
+            state = "running" if fl.running else "idle"
+            self._say(f"{name}: {state} capture={fl.capture} fixes={n} "
+                      f"overrides={fl.overrides}")
+            if fl.error is not None:
+                self._say(f"  error: {fl.error}")
 
     def do_printport(self, line):
-        """printport <flow> <attr>  — peek receiver state (rc, fi, cp, x...)"""
-        try:
-            name, attr = shlex.split(line)
-        except ValueError:
-            self._say("usage: printport <flow> <attr>")
+        """printport [<flow>] <attr> — peek receiver state (rc, fi, cp, x...)"""
+        parts = shlex.split(line)
+        if len(parts) == 1:
+            parts = [""] + parts
+        if len(parts) != 2:
+            self._say("usage: printport [<flow>] <attr>")
             return
-        fl = self.flows.get(name)
-        if not fl or fl.rx is None:
+        name, fl = self._flow(parts[0])
+        if not fl:
+            return
+        if fl.rx is None:
             self._say("flow not started")
             return
+        attr = parts[1]
         target = fl.rx.ekf.x if attr == "x" else getattr(fl.rx, attr, None)
         if target is None:
             self._say(f"no attribute {attr}")
         else:
             self._say(np.asarray(target))
+
+    def do_history(self, line):
+        """history — show command history (reference HIStory cmdCommon.cpp)"""
+        for i, entry in enumerate(self.history):
+            self._say(f"{i:4d}  {entry}")
 
     def do_dofile(self, line):
         """dofile <script> — execute console commands from a file"""
@@ -144,16 +337,21 @@ class Console(cmd.Cmd):
                     cmdline = cmdline.strip()
                     if cmdline and not cmdline.startswith("#"):
                         self._say(f"{self.prompt}{cmdline}")
+                        self.history.append(cmdline)
                         if self.onecmd(cmdline):
                             return True
         except OSError as e:
             self._say(e)
 
     def do_quit(self, line):
-        """quit"""
+        """quit — stop any running flows and exit"""
+        for name, fl in self.flows.items():
+            if fl.running:
+                fl.runner.stop()
+                fl.thread.join()
+                self._say(f"flow {name} stopped")
         return True
 
-    do_q = do_quit
     do_EOF = do_quit
 
 

@@ -26,17 +26,17 @@ class ReceiverFleet:
         self.labels = labels or [f"rx{i}" for i in range(len(rawfiles))]
 
     def _parallel(self, fn):
-        threads = [threading.Thread(target=fn, args=(rx,))
-                   for rx in self.receivers]
+        """Run fn(rx) on every receiver concurrently; re-raise the first
+        failure after all threads join."""
         errors = []
 
-        def wrap(t, rx):
+        def wrap(rx):
             try:
                 fn(rx)
             except Exception as e:   # pragma: no cover
                 errors.append(e)
 
-        threads = [threading.Thread(target=wrap, args=(None, rx))
+        threads = [threading.Thread(target=wrap, args=(rx,))
                    for rx in self.receivers]
         for t in threads:
             t.start()
@@ -46,8 +46,7 @@ class ReceiverFleet:
             raise errors[0]
 
     def acquire(self, verbose: bool = False):
-        for rx in self.receivers:
-            rx.acquire(verbose=verbose)
+        self._parallel(lambda rx: rx.acquire(verbose=verbose))
 
     def track(self, n_ms: int, parallel: bool = True):
         if parallel:

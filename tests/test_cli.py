@@ -80,3 +80,68 @@ def test_cli_console_dofile(tiny_capture, tmp_path):
         capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
     assert r.returncode == 0, r.stderr[-500:]
     assert "final fix" in r.stdout
+
+
+def _console():
+    import io
+
+    from navlab_dpe_sdr_tpu.console import Console
+    out = io.StringIO()
+    return Console(stdout=out), out
+
+
+def test_console_prefix_abbrev_alias_history(tiny_capture):
+    cap, hand = tiny_capture
+    c, out = _console()
+    # unique prefixes resolve (reference cmdParser minimal abbreviations)
+    c.onecmd(f"newf f1 {cap} {hand}")
+    c.onecmd("setp f1 interp linear")
+    c.onecmd("addal f1 primary")
+    c.onecmd("setp primary l_power 2")       # via alias
+    c.onecmd("lsf")
+    c.onecmd("s")                            # ambiguous
+    c.precmd("lsf")                          # history records via precmd
+    c.onecmd("hist")
+    text = out.getvalue()
+    assert "flow f1 created" in text
+    assert "f1.interp = linear" in text
+    assert "primary -> f1" in text
+    assert "f1.l_power = 2" in text          # alias resolved to f1
+    assert "aliases=primary" in text
+    assert "ambiguous command 's'" in text
+    assert "lsf" in text.splitlines()[-1] or "lsf" in text
+
+
+def test_console_active_flow_and_delflow(tiny_capture):
+    cap, hand = tiny_capture
+    c, out = _console()
+    c.onecmd(f"newflow a {cap} {hand}")
+    c.onecmd(f"newflow b {cap} {hand}")
+    c.onecmd("actflow b")
+    c.onecmd("setparam interp linear")       # 2-arg form -> active flow
+    assert c.flows["b"].overrides["interp"] == "linear"
+    assert "interp" not in c.flows["a"].overrides
+    c.onecmd("delflow b")
+    assert "b" not in c.flows
+    assert c.active == "a"
+
+
+def test_console_stopflow_midrun(tiny_capture):
+    """Background startflow + stopflow stops before the block budget
+    (reference Flow::Stop join semantics, flow.cu:89-103)."""
+    cap, hand = tiny_capture
+    c, out = _console()
+    c.onecmd(f"newflow f {cap} {hand}")
+    c.onecmd("setparam f interp linear")
+    c.onecmd("startflow f 55 &")
+    assert "flow f started" in out.getvalue()
+    fl = c.flows["f"]
+    c.onecmd("status f")
+    c.onecmd("stopflow f")
+    assert not fl.running
+    assert fl.runner.stats.n < 55
+    assert "stopped after" in out.getvalue()
+    # idempotent: stopping again reports not running
+    c.onecmd("stopflow f")
+    assert "wasn't running" in out.getvalue()
+    c.onecmd("quit")
