@@ -1,0 +1,222 @@
+"""Monte-Carlo automation harness: init-perturbation and grid-spacing sweeps.
+
+Product surface for the reference's commented-out automation harnesses
+(cudarecv/src/main.cu:105-224 random-initial-state runs writing indexed
+XECEF logs + a shift file; main.cu:257-280 GridDimSpacing sweep) and for
+pygnss's perturbed deep-init (receiver.py:181-192). Runs are sequential
+receiver passes over the same capture: every pass reuses the module-level
+jitted device step (same shapes -> one compile for the whole campaign),
+so the marginal cost per run is pure device time.
+"""
+
+from __future__ import annotations
+
+import copy
+import csv
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..libgnss import frames
+
+
+@dataclass
+class MCRun:
+    """One Monte-Carlo run: the applied perturbation and fix-error stats."""
+    idx: int
+    shift_enu: tuple = (0.0, 0.0, 0.0)   # applied init offset [m] (E, N, U)
+    dt_m: float = 0.0                    # applied clock-bias offset [m]
+    spacing: float | None = None         # grid spacing [m] (spacing sweeps)
+    radius_m: float = 0.0                # |(shift, dt)| 4D perturbation size
+    final_err_m: float = float("nan")    # last-fix position error vs truth
+    median_err_m: float = float("nan")   # median error over the second half
+    converged: bool = False
+    errs: list = field(default_factory=list)
+
+    def row(self):
+        return [self.idx, *(round(s, 3) for s in self.shift_enu),
+                round(self.dt_m, 3),
+                "" if self.spacing is None else self.spacing,
+                round(self.final_err_m, 3), round(self.median_err_m, 3),
+                int(self.converged)]
+
+
+ROW_HEADER = ["idx", "dE_m", "dN_m", "dU_m", "dt_m", "spacing_m",
+              "final_err_m", "median_err_m", "converged"]
+
+
+def _signed_band(rng, bottom: float, span: float) -> float:
+    """Uniform magnitude in [bottom, bottom+span], random sign — the
+    reference's shiftBottom/shiftRange draw (main.cu:148-186)."""
+    mag = rng.uniform(bottom, bottom + span)
+    return mag if rng.uniform() < 0.5 else -mag
+
+
+def draw_perturbation(rng, bottom: float = 50.0, span: float = 30.0,
+                      time_band: tuple[float, float] | None = None):
+    """One ENU + clock draw: horizontal magnitude in the signed band at a
+    random bearing, vertical in the signed band, optional clock-bias band."""
+    mag = _signed_band(rng, bottom, span)
+    theta = rng.uniform(0.0, 2.0 * np.pi)
+    d_enu = np.array([mag * np.cos(theta), mag * np.sin(theta),
+                      _signed_band(rng, bottom, span)])
+    dt = _signed_band(rng, *time_band) if time_band else 0.0
+    return d_enu, dt
+
+
+def _one_run(capture, hand, d_enu, dt_m, grid, config, blocks, fs,
+             truth_ecef):
+    from ..io.rawfile import SampleFile
+    from .dpe import DPEReceiver
+
+    h2 = copy.deepcopy(hand)
+    h2.x_ecef = hand.x_ecef.copy()
+    h2.x_ecef[0:3] = frames.enu_to_ecef(hand.x_ecef[0:3], np.asarray(d_enu))
+    h2.x_ecef[3] += dt_m
+
+    rf = SampleFile(capture, fs=fs)
+    rx = DPEReceiver(rf, h2, grid=grid, config=config)
+    fixes = rx.run(blocks)
+    errs = [float(np.linalg.norm(f.x_ecef[0:3] - truth_ecef[0:3]))
+            for f in fixes]
+    return rx, errs
+
+
+def _finish(run: MCRun, errs, converge_m: float):
+    run.errs = errs
+    run.final_err_m = errs[-1] if errs else float("nan")
+    half = errs[len(errs) // 2:]
+    run.median_err_m = float(np.median(half)) if half else float("nan")
+    run.converged = bool(half) and run.median_err_m < converge_m
+    return run
+
+
+def _write_xecef(out_dir, idx, rx, weekno=None):
+    path = os.path.join(out_dir, f"run{idx:03d}_XFile.csv")
+    with open(path, "w", newline="") as fo:
+        w = csv.writer(fo)
+        for f in rx.fixes:
+            w.writerow([f"{v:.6f}" for v in
+                        [f.rx_time, *f.x_ecef]])
+    return path
+
+
+def perturbation_sweep(capture, hand, runs: int = 100, blocks: int = 50,
+                       bottom: float = 50.0, span: float = 30.0,
+                       time_band=None, grid=None, config=None,
+                       converge_m: float = 20.0, seed: int = 0,
+                       out_dir: str | None = None, fs: float = 2.5e6,
+                       truth_ecef=None, verbose: bool = True) -> list[MCRun]:
+    """N receiver passes from randomly perturbed initial states
+    (reference main.cu:140-219: 100 runs, |shift| in 50-80 m per axis)."""
+    from .grid import spread_grid
+
+    grid = grid or spread_grid()
+    truth = np.asarray(truth_ecef if truth_ecef is not None else hand.x_ecef)
+    rng = np.random.default_rng(seed)
+    results = []
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    for idx in range(runs):
+        d_enu, dt = draw_perturbation(rng, bottom, span, time_band)
+        run = MCRun(idx=idx, shift_enu=tuple(d_enu), dt_m=dt,
+                    radius_m=float(np.linalg.norm([*d_enu, dt])))
+        rx, errs = _one_run(capture, hand, d_enu, dt, grid, config, blocks,
+                            fs, truth)
+        _finish(run, errs, converge_m)
+        if out_dir:
+            _write_xecef(out_dir, idx, rx)
+        results.append(run)
+        if verbose:
+            print(f"run {idx:3d}: |d|={run.radius_m:6.1f} m  "
+                  f"final={run.final_err_m:8.1f} m  "
+                  f"median={run.median_err_m:8.1f} m  "
+                  f"{'CONVERGED' if run.converged else 'diverged'}")
+    if out_dir:
+        write_shift_file(os.path.join(out_dir, "shifts.csv"), results)
+    return results
+
+
+def spacing_sweep(capture, hand, spacings, blocks: int = 50, grid_n: int = 25,
+                  config=None, converge_m: float = 20.0,
+                  out_dir: str | None = None, fs: float = 2.5e6,
+                  truth_ecef=None, verbose: bool = True) -> list[MCRun]:
+    """Grid-spacing sweep (reference main.cu:257-277: GridDimSpacing
+    7.0..10.0 m in 0.5 m steps over repeated runs)."""
+    from .grid import uniform_grid
+
+    truth = np.asarray(truth_ecef if truth_ecef is not None else hand.x_ecef)
+    results = []
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    for idx, s in enumerate(spacings):
+        grid = uniform_grid(n=grid_n, pos_spacing=float(s))
+        run = MCRun(idx=idx, spacing=float(s))
+        rx, errs = _one_run(capture, hand, np.zeros(3), 0.0, grid, config,
+                            blocks, fs, truth)
+        _finish(run, errs, converge_m)
+        if out_dir:
+            _write_xecef(out_dir, idx, rx)
+        results.append(run)
+        if verbose:
+            print(f"spacing {s:5.2f} m: final={run.final_err_m:8.1f} m  "
+                  f"median={run.median_err_m:8.1f} m  "
+                  f"{'CONVERGED' if run.converged else 'diverged'}")
+    return results
+
+
+def write_shift_file(path: str, results: list[MCRun]):
+    """Shift/summary CSV (reference shiftFile, main.cu:135-206)."""
+    with open(path, "w", newline="") as fo:
+        w = csv.writer(fo)
+        w.writerow(ROW_HEADER)
+        for r in results:
+            w.writerow(r.row())
+
+
+def convergence_summary(results: list[MCRun], n_bins: int = 4) -> dict:
+    """Convergence-rate vs perturbation-radius table."""
+    if not results:
+        return {"runs": 0, "bins": []}
+    radii = np.array([r.radius_m for r in results])
+    conv = np.array([r.converged for r in results])
+    edges = np.linspace(radii.min(), radii.max() + 1e-9, n_bins + 1)
+    bins = []
+    for i in range(n_bins):
+        m = (radii >= edges[i]) & (radii < edges[i + 1])
+        if not m.any():
+            continue
+        bins.append({
+            "radius_lo_m": round(float(edges[i]), 1),
+            "radius_hi_m": round(float(edges[i + 1]), 1),
+            "runs": int(m.sum()),
+            "converged": int(conv[m].sum()),
+            "rate": round(float(conv[m].mean()), 3),
+            "median_final_m": round(
+                float(np.median([results[j].final_err_m
+                                 for j in np.flatnonzero(m)])), 2),
+        })
+    return {"runs": len(results),
+            "converged": int(conv.sum()),
+            "rate": round(float(conv.mean()), 3),
+            "bins": bins}
+
+
+def format_summary(summary: dict) -> str:
+    lines = [f"{summary['runs']} runs, {summary.get('converged', 0)} "
+             f"converged ({100.0 * summary.get('rate', 0):.0f}%)"]
+    for b in summary["bins"]:
+        lines.append(
+            f"  |d| {b['radius_lo_m']:6.1f}-{b['radius_hi_m']:6.1f} m: "
+            f"{b['converged']:3d}/{b['runs']:3d} ({100 * b['rate']:3.0f}%)  "
+            f"median final {b['median_final_m']:.1f} m")
+    return "\n".join(lines)
+
+
+def save_summary(path: str, summary: dict, results: list[MCRun]):
+    with open(path, "w") as fo:
+        json.dump({"summary": summary,
+                   "runs": [dict(zip(ROW_HEADER, r.row()))
+                            for r in results]}, fo, indent=1)

@@ -138,3 +138,32 @@ def test_dpe_converges_from_perturbed_init(dpe_setup):
     errs = [np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]) for f in fixes]
     assert np.median(errs[-5:]) < 15.0, \
         f"did not converge: {[round(e,1) for e in errs]}"
+
+
+@pytest.mark.slow
+def test_montecarlo_harness(dpe_setup, tmp_path):
+    """Perturbation campaign API: indexed XECEF logs, shift file, and a
+    convergence summary (reference main.cu:105-224 harness)."""
+    from navlab_dpe_sdr_tpu.models import montecarlo as mc
+
+    dat, hand = dpe_setup
+    out = tmp_path / "mc"
+    results = mc.perturbation_sweep(dat, hand, runs=2, blocks=10,
+                                    bottom=30.0, span=10.0, seed=3,
+                                    out_dir=str(out), fs=FS, verbose=False)
+    assert len(results) == 2
+    assert all(30.0 <= abs(np.linalg.norm(r.shift_enu[:2])) for r in results)
+    assert all(r.converged for r in results), \
+        [(r.radius_m, r.median_err_m) for r in results]
+
+    summary = mc.convergence_summary(results)
+    assert summary["rate"] == 1.0
+    assert mc.format_summary(summary)
+
+    shifts = (out / "shifts.csv").read_text().splitlines()
+    assert shifts[0].split(",")[0] == "idx"
+    assert len(shifts) == 3
+    xrows = (out / "run000_XFile.csv").read_text().splitlines()
+    assert len(xrows) == 10
+    mc.save_summary(str(out / "summary.json"), summary, results)
+    assert (out / "summary.json").exists()
