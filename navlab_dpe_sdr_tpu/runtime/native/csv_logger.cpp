@@ -1,7 +1,9 @@
 // Asynchronous row logger: the caller enqueues fixed-width double rows; a
-// writer thread drains them to CSV so the hot loop never blocks on disk.
-// Equivalent of CUDARecv's DataLogger (datalogger.cu:45-278): N-deep ring,
-// low-priority writer thread, timeout semantics on a full ring.
+// writer thread drains them to CSV or raw binary so the hot loop never
+// blocks on disk. Equivalent of CUDARecv's DataLogger (datalogger.cu:45-278):
+// N-deep ring, low-priority writer thread, timeout semantics on a full
+// ring, CSV/binary switch (datalogger.cu:45-50); complex ports are handled
+// by the Python adapter interleaving re/im (datalogger.cu:241-243).
 //
 // C ABI for ctypes. Build: make -C navlab_dpe_sdr_tpu/runtime/native
 
@@ -16,6 +18,7 @@ namespace {
 struct Logger {
     FILE* fo = nullptr;
     int n_cols = 0;
+    int binary = 0;              // 0 = CSV text, 1 = raw little-endian f64
     int depth = 0;
     double* ring = nullptr;      // depth * n_cols
     int head = 0, tail = 0, count = 0;
@@ -48,9 +51,13 @@ void* writer_main(void* arg) {
         pthread_mutex_unlock(&lg->mu);
 
         const double* row = lg->ring + (size_t)slot * lg->n_cols;
-        for (int i = 0; i < lg->n_cols; i++)
-            fprintf(lg->fo, i + 1 < lg->n_cols ? "%.12g," : "%.12g\n",
-                    row[i]);
+        if (lg->binary) {
+            fwrite(row, sizeof(double), lg->n_cols, lg->fo);
+        } else {
+            for (int i = 0; i < lg->n_cols; i++)
+                fprintf(lg->fo, i + 1 < lg->n_cols ? "%.12g," : "%.12g\n",
+                        row[i]);
+        }
 
         pthread_mutex_lock(&lg->mu);
         lg->head = (lg->head + 1) % lg->depth;
@@ -64,12 +71,14 @@ void* writer_main(void* arg) {
 
 extern "C" {
 
-void* lg_open(const char* path, int n_cols, int depth, double timeout_s) {
-    FILE* fo = fopen(path, "w");
+void* lg_open2(const char* path, int n_cols, int depth, double timeout_s,
+               int binary) {
+    FILE* fo = fopen(path, binary ? "wb" : "w");
     if (!fo) return nullptr;
     Logger* lg = new Logger();
     lg->fo = fo;
     lg->n_cols = n_cols;
+    lg->binary = binary;
     lg->depth = depth;
     lg->timeout_s = timeout_s > 0 ? timeout_s : 1.5;
     lg->ring = (double*)malloc(sizeof(double) * (size_t)n_cols * depth);
@@ -80,6 +89,10 @@ void* lg_open(const char* path, int n_cols, int depth, double timeout_s) {
         return nullptr;
     }
     return lg;
+}
+
+void* lg_open(const char* path, int n_cols, int depth, double timeout_s) {
+    return lg_open2(path, n_cols, depth, timeout_s, 0);
 }
 
 // Enqueue one row. Returns 0 on success, -1 on timeout (ring full too long).

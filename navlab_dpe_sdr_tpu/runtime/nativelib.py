@@ -44,6 +44,9 @@ def load():
     lib.lg_open.restype = ctypes.c_void_p
     lib.lg_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                             ctypes.c_double]
+    lib.lg_open2.restype = ctypes.c_void_p
+    lib.lg_open2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_double, ctypes.c_int]
     lib.lg_write.restype = ctypes.c_int
     lib.lg_write.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_double)]
@@ -106,11 +109,13 @@ class AsyncLogger:
     """
 
     def __init__(self, path: str, n_cols: int, depth: int = 64,
-                 timeout_s: float = 1.5):
+                 timeout_s: float = 1.5, binary: bool = False):
         lib = load()
         self._lib = lib
         self.n_cols = n_cols
-        self._h = lib.lg_open(path.encode(), n_cols, depth, timeout_s)
+        self.binary = binary
+        self._h = lib.lg_open2(path.encode(), n_cols, depth, timeout_s,
+                               1 if binary else 0)
         if not self._h:
             raise OSError(f"lg_open failed for {path}")
 
@@ -126,6 +131,55 @@ class AsyncLogger:
         if self._h:
             self._lib.lg_close(self._h)
             self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class PortLogger:
+    """Attach an async logger to ANY receiver port (datalogger.cu:34:
+    DATATYPE_ANY / VALUETYPE_ANY / VECTORLENGTH_ANY).
+
+    `getter` produces the port value each step: any array-like of fixed
+    size, real or complex (complex is interleaved re,im per element,
+    datalogger.cu:241-243). Column count is latched from the first value;
+    format is CSV or raw binary float64.
+    """
+
+    def __init__(self, path: str, getter, binary: bool = False,
+                 depth: int = 64, timeout_s: float = 1.5):
+        self.path = path
+        self.getter = getter
+        self.binary = binary
+        self.depth = depth
+        self.timeout_s = timeout_s
+        self._logger: AsyncLogger | None = None
+        self.rows = 0
+
+    @staticmethod
+    def _flatten(value) -> np.ndarray:
+        arr = np.asarray(value)
+        if np.iscomplexobj(arr):
+            arr = np.stack([arr.real, arr.imag], axis=-1)
+        return np.ravel(arr).astype(np.float64)
+
+    def step(self):
+        row = self._flatten(self.getter())
+        if self._logger is None:
+            self._logger = AsyncLogger(self.path, n_cols=row.size,
+                                       depth=self.depth,
+                                       timeout_s=self.timeout_s,
+                                       binary=self.binary)
+        self._logger.write(row)
+        self.rows += 1
+
+    def close(self):
+        if self._logger is not None:
+            self._logger.close()
+            self._logger = None
 
     def __enter__(self):
         return self

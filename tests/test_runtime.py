@@ -97,3 +97,37 @@ def test_flow_runner_eof_stops():
     runner = FlowRunner(step, watchdog_s=None)
     stats = runner.run()
     assert stats.n == 3
+
+
+def test_async_logger_binary_mode(tmp_path):
+    """Binary format: raw little-endian f64 rows (datalogger.cu:45-50)."""
+    from navlab_dpe_sdr_tpu.runtime.nativelib import AsyncLogger
+
+    path = tmp_path / "rows.bin"
+    rows = np.arange(12, dtype=np.float64).reshape(4, 3)
+    with AsyncLogger(str(path), n_cols=3, binary=True) as lg:
+        for r in rows:
+            lg.write(r)
+    got = np.fromfile(path, dtype=np.float64).reshape(4, 3)
+    np.testing.assert_array_equal(got, rows)
+
+
+def test_port_logger_complex_and_any_port(tmp_path):
+    """PortLogger: any-port attachment, complex interleave re,im
+    (datalogger.cu:34, 241-243)."""
+    from navlab_dpe_sdr_tpu.runtime.nativelib import PortLogger
+
+    state = {"v": np.array([1 + 2j, 3 - 4j])}
+    path = tmp_path / "port.csv"
+    with PortLogger(str(path), lambda: state["v"]) as pl:
+        pl.step()
+        state["v"] = np.array([5 + 6j, 7 + 8j])
+        pl.step()
+    rows = np.loadtxt(path, delimiter=",")
+    np.testing.assert_array_equal(rows, [[1, 2, 3, -4], [5, 6, 7, 8]])
+
+    bpath = tmp_path / "port.bin"
+    with PortLogger(str(bpath), lambda: np.arange(5), binary=True) as pl:
+        pl.step()
+    np.testing.assert_array_equal(np.fromfile(bpath, np.float64),
+                                  np.arange(5.0))
