@@ -83,7 +83,11 @@ def cmd_track(args):
     rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
     rf.seek(int(args.skip * args.fs))
     prns = [int(p) for p in args.prns.split(",")]
-    rx = ScalarReceiver(rf, prns)
+    from .ops.tracking import LoopConfig
+    rx = ScalarReceiver(rf, prns,
+                        loops=LoopConfig(order=args.loop_order,
+                                         bn_code=args.bn_code,
+                                         bn_carr=args.bn_carr))
     rx.acquire()
     n_ms = int(args.seconds * 1000)
     print(f"tracking {args.seconds}s ...")
@@ -168,9 +172,34 @@ def cmd_dpe(args):
 
     writer = FixWriter(args.out, weekno=args.weekno) if args.out else None
 
+    # --log port=path[:bin] — attach async loggers to arbitrary receiver
+    # ports (reference DataLogger any-port attachment, datalogger.cu:34)
+    port_loggers = []
+    for spec in (args.log or []):
+        port, _, dest = spec.partition("=")
+        binary = dest.endswith(":bin")
+        dest = dest[:-4] if binary else dest
+        if not dest:
+            raise SystemExit(f"--log expects port=path[:bin], got {spec!r}")
+        from .runtime.nativelib import PortLogger
+
+        def mk_getter(name):
+            if name == "x":
+                return lambda: rx.ekf.x
+            if name == "fix":
+                return lambda: np.concatenate([[rx.fixes[-1].rx_time_a],
+                                               rx.fixes[-1].x_ecef])
+            if not hasattr(rx, name):
+                raise SystemExit(f"--log: receiver has no port {name!r}")
+            return lambda: getattr(rx, name)
+
+        port_loggers.append(PortLogger(dest, mk_getter(port), binary=binary))
+
     def on_fix(fix):
         if writer:
             writer.write(fix)
+        for pl in port_loggers:
+            pl.step()
         if args.verbose:
             from .libgnss import frames
             lla = frames.ecef_to_lla(fix.x_ecef[:3])
@@ -227,6 +256,8 @@ def cmd_dpe(args):
               f"{runner.realtime_misses}")
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
+    for pl in port_loggers:
+        pl.close()
     if writer:
         writer.close()
     if rx.fixes:
@@ -296,6 +327,54 @@ def cmd_fleet(args):
             print(f"{label}: final {drx.fixes[-1].x_ecef[:3]}")
 
 
+def cmd_mc(args):
+    """Monte-Carlo campaign: init-perturbation runs or grid-spacing sweep
+    (reference main.cu:105-280 automation harnesses)."""
+    from .io.handoff import read_handoff
+    from .models import montecarlo as mc
+    from .models.dpe import DPEConfig
+    from .models.grid import make_grid
+
+    hand = read_handoff(args.handoff)
+    overrides = {}
+    if args.config:
+        overrides.update(json.load(open(args.config)))
+    overrides.update(_parse_set(args.set))
+    cfg = DPEConfig(**{k: v for k, v in overrides.items()
+                       if k in DPEConfig.__dataclass_fields__})
+    truth = None
+    if args.truth:
+        truth = read_handoff(args.truth).x_ecef
+
+    if args.spacings:
+        spacings = [float(s) for s in args.spacings.split(",")]
+        results = mc.spacing_sweep(
+            args.file, hand, spacings, blocks=args.blocks,
+            grid_n=args.grid_n, config=cfg, converge_m=args.converge_m,
+            out_dir=args.out_dir, fs=args.fs, truth_ecef=truth)
+        for r in results:
+            print(f"spacing {r.spacing:5.2f} m -> median "
+                  f"{r.median_err_m:8.2f} m "
+                  f"{'ok' if r.converged else 'DIVERGED'}")
+    else:
+        time_band = None
+        if args.time_band:
+            lo, hi = (float(v) for v in args.time_band.split(","))
+            time_band = (lo, hi - lo)
+        grid = make_grid(args.grid) if args.grid else None
+        results = mc.perturbation_sweep(
+            args.file, hand, runs=args.runs, blocks=args.blocks,
+            bottom=args.bottom, span=args.span, time_band=time_band,
+            grid=grid, config=cfg, converge_m=args.converge_m,
+            seed=args.seed, out_dir=args.out_dir, fs=args.fs,
+            truth_ecef=truth)
+        summary = mc.convergence_summary(results)
+        print(mc.format_summary(summary))
+        if args.out_dir:
+            mc.save_summary(f"{args.out_dir}/summary.json", summary, results)
+            print(f"wrote {args.out_dir}/summary.json")
+
+
 def cmd_console(args):
     from .console import Console
     Console().cmdloop()
@@ -322,9 +401,8 @@ def main(argv=None):
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
-                   help="JAX backend. auto = CPU for acquire/track (their "
-                        "kernels use FFT/gather features some TPU backends "
-                        "lack), platform default for dpe/bench")
+                   help="JAX backend. auto = platform default (TPU when "
+                        "present; all engines auto-select TPU-safe kernels)")
     p.add_argument("--cpu-devices", type=int, metavar="N",
                    help="with --device cpu: expose N virtual CPU devices "
                         "(test bed for --mesh without TPU hardware)")
@@ -361,6 +439,12 @@ def main(argv=None):
     pt.add_argument("--rinex", help="RINEX nav fallback for undecoded PRNs")
     pt.add_argument("--handoff", help="write handoff CSV here")
     pt.add_argument("--checkpoint", help="write receiver checkpoint dir")
+    pt.add_argument("--loop-order", type=int, choices=[2, 3], default=2,
+                    help="loop-filter order (critically damped)")
+    pt.add_argument("--bn-code", type=float, default=3.0,
+                    help="code-loop noise bandwidth [Hz]")
+    pt.add_argument("--bn-carr", type=float, default=40.0,
+                    help="carrier-loop noise bandwidth [Hz]")
     pt.set_defaults(fn=cmd_track)
 
     pd = sub.add_parser("dpe", help="DPE block loop from a handoff")
@@ -408,6 +492,10 @@ def main(argv=None):
     pd.add_argument("--xecef-log",
                     help="async X_ECEF CSV (XECEFLogger equivalent), with "
                          "--native-io")
+    pd.add_argument("--log", action="append", metavar="PORT=PATH[:bin]",
+                    help="attach an async logger to any receiver port "
+                         "(rc/fi/fc/cp/x/fix/...); ':bin' writes raw f64 "
+                         "instead of CSV (per-block modes)")
     pd.set_defaults(fn=cmd_dpe)
 
     pv = sub.add_parser("vt", help="vector tracking from scalar pull-in")
@@ -432,6 +520,35 @@ def main(argv=None):
     pf.add_argument("--out-dir", default="fleet_out")
     pf.set_defaults(fn=cmd_fleet)
 
+    pm = sub.add_parser("mc", help="Monte-Carlo perturbation / grid sweeps")
+    pm.add_argument("file")
+    pm.add_argument("--handoff", required=True)
+    pm.add_argument("--truth", help="handoff CSV holding the true state "
+                                    "(default: --handoff's state)")
+    pm.add_argument("--fs", type=float, default=2.5e6)
+    pm.add_argument("--runs", type=int, default=100)
+    pm.add_argument("--blocks", type=int, default=50)
+    pm.add_argument("--bottom", type=float, default=50.0,
+                    help="min |shift| per axis [m] (reference shiftBottom)")
+    pm.add_argument("--span", type=float, default=30.0,
+                    help="band width above --bottom [m] (shiftRange)")
+    pm.add_argument("--time-band", metavar="LO,HI",
+                    help="also perturb clock bias, |dt| in [LO,HI] m")
+    pm.add_argument("--grid", help="grid preset for perturbation runs "
+                                   "(default spread)")
+    pm.add_argument("--spacings", metavar="S1,S2,...",
+                    help="grid-spacing sweep mode [m] (GridDimSpacing)")
+    pm.add_argument("--grid-n", type=int, default=25,
+                    help="uniform-grid axis points for --spacings")
+    pm.add_argument("--converge-m", type=float, default=20.0)
+    pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--out-dir", help="write indexed XECEF logs + "
+                                      "shifts.csv + summary.json here")
+    pm.add_argument("--config", help="DPEConfig JSON overrides")
+    pm.add_argument("--set", action="append", default=[],
+                    metavar="K=V", help="DPEConfig field override")
+    pm.set_defaults(fn=cmd_mc)
+
     pc = sub.add_parser("console", help="interactive flow console")
     pc.set_defaults(fn=cmd_console)
 
@@ -440,9 +557,11 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    _select_device(args.device,
-                   default_cpu=args.fn in (cmd_acquire, cmd_track, cmd_vt,
-                                           cmd_fleet),
+    # every pipeline runs on the platform default (TPU when present): the
+    # tracking/acquisition engines are all-real and gather-free there
+    # (engine="auto" picks the TPU-safe kernels); --device cpu still forces
+    # the CPU backend
+    _select_device(args.device, default_cpu=False,
                    cpu_devices=args.cpu_devices)
     return args.fn(args)
 

@@ -48,8 +48,10 @@ class ChannelLogs:
 class ScalarReceiver:
     """Multi-channel scalar (DLL/PLL) receiver over a SampleFile."""
 
-    def __init__(self, rawfile: SampleFile, prn_list):
+    def __init__(self, rawfile: SampleFile, prn_list,
+                 loops: trk_ops.LoopConfig | None = None):
         self.rawfile = rawfile
+        self.loops = loops or trk_ops.LoopConfig()
         self.prn_list = [int(p) for p in prn_list]
         self.channels = {p: ChannelLogs(prn=p) for p in self.prn_list}
         self.code_table = jnp.asarray(
@@ -61,11 +63,15 @@ class ScalarReceiver:
     # -- acquisition -------------------------------------------------------
 
     def acquire(self, T: float = 0.01, verbose: bool = True,
-                engine: str = "fft"):
+                engine: str = "auto"):
         """Best-of-two-blocks acquisition (reference receiver.py:452-520).
 
-        engine="real" uses the all-real TPU-safe search
-        (ops.acquisition_real)."""
+        engine="real" is the all-real TPU-safe search
+        (ops.acquisition_real); "fft" needs complex64 + gather (CPU/GPU);
+        "auto" picks by backend."""
+        if engine == "auto":
+            import jax
+            engine = "real" if jax.default_backend() == "tpu" else "fft"
         rf = self.rawfile
         s_per = int(round(T * rf.fs))
         start_pos = rf.sample_pos
@@ -116,11 +122,16 @@ class ScalarReceiver:
         while done < n_ms:
             n = min(chunk_ms, n_ms - done)
             start_samp = rf.sample_pos
-            raw = np.empty((n, s), dtype=np.complex64)
+            raw = np.empty((n, s, 2), dtype=np.float32)
             for i in range(n):
-                raw[i] = rf.read_block()
+                blk = rf.read_block()
+                raw[i, :, 0] = blk.real
+                raw[i, :, 1] = blk.imag
+            # upload as all-real [n, S, 2] — no complex64 on device, so the
+            # same path runs on backends without complex support (axon TPU)
             self.state, log = trk_ops.track_chunk(
-                self.state, jnp.asarray(raw), self.code_table, rf.fs, rf.fcaid)
+                self.state, jnp.asarray(raw), self.code_table, rf.fs,
+                rf.fcaid, self.loops)
             self._absorb_log(log)
             self._m_samp.extend(start_samp + (np.arange(n) + 1) * s)
             done += n

@@ -113,9 +113,12 @@ class VectorReceiver:
         rf = self.rawfile
         sats_eci, los = self._steer_from_state()
 
-        raw = np.empty((n, rf.S), dtype=np.complex64)
+        # all-real [n, S, 2] upload (no device complex64; axon-TPU safe)
+        raw = np.empty((n, rf.S, 2), dtype=np.float32)
         for i in range(n):
-            raw[i] = rf.read_block()
+            blk = rf.read_block()
+            raw[i, :, 0] = blk.real
+            raw[i, :, 1] = blk.imag
 
         e, p, l = trk_ops.track_open_loop(
             jnp.asarray(self.rc.astype(np.float32)),

@@ -35,9 +35,40 @@ LOCK_LPF = 0.0247
 LOCK_LOSS_TH = 50
 LOCK_LOCK_TH = 240
 
-# 2nd-order critically damped loop constants (reference loopfilter.py:37-41)
-_W0P_CODE = 3.0 / 0.53     # Bnp = 3 Hz code
-_W0P_CARR = 40.0 / 0.53    # Bnp = 40 Hz carrier
+# default noise bandwidths (reference channel.py:57-58)
+BN_CODE_DEFAULT = 3.0      # Hz
+BN_CARR_DEFAULT = 40.0     # Hz
+
+
+class LoopConfig(NamedTuple):
+    """Static loop-filter configuration (hashable -> usable as a jit
+    static argument; changing it recompiles the scan, which is the right
+    trade for scalars that never vary within a run).
+
+    Critically damped constants per reference loopfilter.py:28-72:
+    order 2: w0 = Bn/0.53,  Kv = w0^2,    Kp = 1.414*w0
+    order 3: w0 = Bn/0.7845, Ka = w0^3, Kv = 1.1*w0^2, Kp = 2.4*w0
+    FLL-assist bandwidths (bn_freq): order 2 w0f = Bnf/0.25, Kvf = w0f;
+    order 3 w0f = Bnf/0.53, Kaf = w0f^2, Kvf = 1.414*w0f.
+    """
+    order: int = 2            # 2 or 3
+    bn_code: float = BN_CODE_DEFAULT
+    bn_carr: float = BN_CARR_DEFAULT
+    bn_carr_freq: float = 0.0  # FLL-assist bandwidth (vector/FLL paths)
+    boxcar: bool = False       # boxcar instead of bilinear integrators
+
+
+def _loop_coeffs(order: int, bn: float, bn_f: float):
+    """(Kap, Kvp, Kpp, Kaf, Kvf) for one loop (reference loopfilter.py:37-62)."""
+    if order == 2:
+        w0p = bn / 0.53
+        w0f = bn_f / 0.25
+        return 0.0, w0p ** 2, 1.414 * w0p, 0.0, w0f
+    if order == 3:
+        w0p = bn / 0.7845
+        w0f = bn_f / 0.53
+        return w0p ** 3, 1.1 * w0p ** 2, 2.4 * w0p, w0f ** 2, 1.414 * w0f
+    raise ValueError(f"unsupported loop-filter order {order}")
 
 
 class TrackState(NamedTuple):
@@ -51,8 +82,10 @@ class TrackState(NamedTuple):
     cp: jax.Array        # completed code periods (int32)
     p_a_re: jax.Array    # carried partial prompt correlation (re/im)
     p_a_im: jax.Array
-    lf_code_h: jax.Array  # bilinear integrator accumulators
+    lf_code_h: jax.Array   # velocity-integrator accumulators
     lf_carr_h: jax.Array
+    lf_code_h2: jax.Array  # acceleration integrators (3rd-order loops)
+    lf_carr_h2: jax.Array
     lock_i: jax.Array    # lock detector LPF states
     lock_q: jax.Array
     losscount: jax.Array
@@ -103,6 +136,7 @@ def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
         cp=jnp.asarray(izeros if cp is None else np.asarray(cp, np.int32)),
         p_a_re=jnp.asarray(zeros), p_a_im=jnp.asarray(zeros),
         lf_code_h=jnp.asarray(zeros), lf_carr_h=jnp.asarray(zeros),
+        lf_code_h2=jnp.asarray(zeros), lf_carr_h2=jnp.asarray(zeros),
         lock_i=jnp.asarray(zeros), lock_q=jnp.asarray(zeros),
         losscount=jnp.asarray(izeros), lockcount=jnp.asarray(izeros),
         lock=jnp.asarray(izeros),
@@ -110,6 +144,12 @@ def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
         snr_v=jnp.zeros((c, SNR_N), jnp.float32),
         snr_fill=jnp.asarray(izeros),
     )
+
+
+def _chip_indices(base: jax.Array, phase: jax.Array) -> jax.Array:
+    """floor(base + phase) mod 1023 as [C, S] float32."""
+    return jnp.mod(jnp.floor(base[None, :] + phase[:, None]),
+                   np.float32(L_CA))
 
 
 def _chips_onehot(code_table: jax.Array, base: jax.Array,
@@ -120,12 +160,28 @@ def _chips_onehot(code_table: jax.Array, base: jax.Array,
     One-hot matmul (MXU) — usable on backends without XLA gather, and the
     contraction shape the MXU likes anyway.
     """
-    idx = jnp.mod(jnp.floor(base[None, :] + phase[:, None]),
-                  np.float32(L_CA))                        # [C, S]
+    idx = _chip_indices(base, phase)                       # [C, S]
     k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1023), 2).astype(jnp.float32)
     onehot = (idx[:, :, None] == k).astype(jnp.float32)
     return jnp.einsum("csk,ck->cs", onehot, code_table,
                       preferred_element_type=jnp.float32)
+
+
+def _chips_gather(code_table: jax.Array, base: jax.Array,
+                  phase: jax.Array) -> jax.Array:
+    """Direct-gather chip lookup — same result as _chips_onehot at
+    O(C*S) instead of O(C*S*1023); for backends with full XLA gather
+    (CPU/GPU/standard TPU)."""
+    idx = _chip_indices(base, phase).astype(jnp.int32)     # [C, S]
+    return jnp.take_along_axis(code_table, idx, axis=1)
+
+
+def _chips(code_table, base, phase):
+    """Pick the lookup strategy at trace time: one-hot matmul where XLA
+    gather is unavailable (axon TPU), direct gather everywhere else."""
+    if jax.default_backend() == "tpu":
+        return _chips_onehot(code_table, base, phase)
+    return _chips_gather(code_table, base, phase)
 
 
 def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
@@ -152,9 +208,9 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
 
     base = time_idc * np.float32(F_CA)                     # [S]
     rc_mid = state.rc + state.dfc * np.float32(0.5e-3)
-    early = _chips_onehot(code_table, base, rc_mid + 0.5)
-    prompt = _chips_onehot(code_table, base, rc_mid)
-    late = _chips_onehot(code_table, base, rc_mid - 0.5)
+    early = _chips(code_table, base, rc_mid + 0.5)
+    prompt = _chips(code_table, base, rc_mid)
+    late = _chips(code_table, base, rc_mid - 0.5)
 
     # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
     # sample ~ (k*L_CA - rc) * fs / fc
@@ -255,8 +311,34 @@ def _lock_snr_update(state: TrackState, p_r):
     return new, lock, lockval, snr
 
 
-def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float):
-    """DLL/PLL discriminators -> 2nd-order loop filters -> new fc/fi.
+def _lf_step(h, h2, xp, xf, coeffs, boxcar: bool):
+    """One loop-filter update (reference loopfilter.py:91-121, filters.py
+    Bilinear/BoxcarIntegrator). Returns (h', h2', out).
+
+    order 2: out = integ(Kvp*xp + Kvf*xf) + Kpp*xp       (Kap == Kaf == 0)
+    order 3: out = integ(integ(Kap*xp + Kaf*xf) + Kvp*xp + Kvf*xf) + Kpp*xp
+    integ is bilinear ((h+h')/2) or boxcar (h') with gain T.
+    """
+    kap, kvp, kpp, kaf, kvf = (np.float32(c) for c in coeffs)
+    t = np.float32(T_MS)
+
+    def integ(acc, x):
+        acc_new = acc + t * x
+        out = acc_new if boxcar else (acc_new + acc) * 0.5
+        return acc_new, out
+
+    if float(kap) == 0.0 and float(kaf) == 0.0:   # pure 2nd-order: skip h2
+        acc_out = 0.0
+        h2_new = h2
+    else:
+        h2_new, acc_out = integ(h2, kap * xp + kaf * xf)
+    h_new, vel_out = integ(h, acc_out + kvp * xp + kvf * xf)
+    return h_new, h2_new, vel_out + kpp * xp
+
+
+def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
+                  loops: LoopConfig):
+    """DLL/PLL discriminators -> loop filters -> new fc/fi.
     e_r/p_r/l_r: [C, 2] (re, im)."""
     ip, qp = p_r[:, 0], p_r[:, 1]
     dpi = jnp.where(ip != 0.0, jnp.arctan(qp / jnp.where(ip == 0, 1.0, ip))
@@ -269,28 +351,32 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float):
                     (e_env - l_env) / (2.0 * jnp.maximum(denom, 1e-30)),
                     0.0).astype(jnp.float32)
 
-    # bilinear integrator: h' = h + T*Kvp*x; out = (h + h')/2 + Kpp*x
-    def lf(h, x, w0p):
-        kvp, kpp = np.float32(w0p * w0p), np.float32(1.414 * w0p)
-        h_new = h + np.float32(T_MS) * (kvp * x)
-        return h_new, (h_new + h) * 0.5 + kpp * x
-
-    lf_carr_h, di = lf(state.lf_carr_h, dpi, _W0P_CARR)
-    lf_code_h, dc = lf(state.lf_code_h, dpc, _W0P_CODE)
+    zero = jnp.zeros_like(dpi)
+    lf_carr_h, lf_carr_h2, di = _lf_step(
+        state.lf_carr_h, state.lf_carr_h2, dpi, zero,
+        _loop_coeffs(loops.order, loops.bn_carr, loops.bn_carr_freq),
+        loops.boxcar)
+    lf_code_h, lf_code_h2, dc = _lf_step(
+        state.lf_code_h, state.lf_code_h2, dpc, zero,
+        _loop_coeffs(loops.order, loops.bn_code, 0.0), loops.boxcar)
 
     fi_new = state.fi_bias + di
     dfc_new = state.dfc_bias + dc + np.float32(fcaid) * (state.fi_bias + di)
     return state._replace(fi=fi_new, dfc=dfc_new, lf_carr_h=lf_carr_h,
-                          lf_code_h=lf_code_h), dpc, dpi
+                          lf_code_h=lf_code_h, lf_carr_h2=lf_carr_h2,
+                          lf_code_h2=lf_code_h2), dpc, dpi
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fcaid"))
+@functools.partial(jax.jit, static_argnames=("fs", "fcaid", "loops"))
 def track_chunk(state: TrackState, raw_chunk: jax.Array,
-                code_table: jax.Array, fs: float, fcaid: float):
+                code_table: jax.Array, fs: float, fcaid: float,
+                loops: LoopConfig = LoopConfig()):
     """Track a chunk of consecutive 1 ms windows.
 
     raw_chunk: [steps, S, 2] float32 (re, im last axis) or [steps, S]
-    complex (converted). Returns (final_state, TrackLog stacked over steps).
+    complex (converted). `loops` selects filter order/bandwidths
+    (reference channel.py:57-58 defaults). Returns (final_state,
+    TrackLog stacked over steps).
     """
     if jnp.iscomplexobj(raw_chunk):
         raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
@@ -321,7 +407,7 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
 
         st2 = st1._replace(rc=rc_new, ri=ri_new, cp=cp_new)
         # measurement update -> fc/fi for the next window
-        st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid)
+        st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid, loops)
         log = log._replace(dpc=dpc, dpi=dpi)
         return st3, log
 
@@ -357,6 +443,7 @@ def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
             dfc_bias=dfc, fi_bias=fi, cp=jnp.zeros_like(rc, jnp.int32),
             p_a_re=jnp.zeros_like(rc), p_a_im=jnp.zeros_like(rc),
             lf_code_h=jnp.zeros_like(rc), lf_carr_h=jnp.zeros_like(rc),
+            lf_code_h2=jnp.zeros_like(rc), lf_carr_h2=jnp.zeros_like(rc),
             lock_i=jnp.zeros_like(rc), lock_q=jnp.zeros_like(rc),
             losscount=jnp.zeros_like(rc, jnp.int32),
             lockcount=jnp.zeros_like(rc, jnp.int32),

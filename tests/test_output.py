@@ -58,7 +58,10 @@ def test_ekf_full_converges_and_contracts():
         z = truth + rng.standard_normal(8) * 1.0
         ekf.measurement_update(z)
     assert np.linalg.norm(ekf.x[:3] - truth[:3]) < 1.5
-    assert np.trace(ekf.P) < 8.0      # contracted from the identity prior
+    # contracted >20x from the diagonal prior (trace 712); the tuned filter
+    # floors position variance so the gain never collapses, so P does not
+    # shrink to zero
+    assert np.trace(ekf.P) < 30.0
 
 
 def test_ekf_full_f_couples_velocity():
