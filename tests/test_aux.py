@@ -66,3 +66,65 @@ def test_console_flow_commands(tmp_path, capsys):
     script.write_text("newflow f2 c2.dat h2.csv\nstatus f2\n")
     con.onecmd(f"dofile {script}")
     assert "f2" in con.stdout.getvalue()
+
+
+# -- generic filters (reference libgnss/filters.py) ------------------------
+
+def test_running_average_filter():
+    from navlab_dpe_sdr_tpu.libgnss.filters import RunningAverageFilter
+
+    f = RunningAverageFilter(4, average=1.0)
+    # push 4 samples; average slides over [1,1,1,1] -> [2,3,4,5]
+    for x, want in [(2, 1.25), (3, 1.75), (4, 2.5), (5, 3.5)]:
+        assert abs(f.update(x) - want) < 1e-12
+    assert abs(f.update(6) - np.mean([3, 4, 5, 6])) < 1e-12
+
+
+def test_integrators_and_lowpass():
+    from navlab_dpe_sdr_tpu.libgnss.filters import (BilinearIntegrator,
+                                                    BoxcarIntegrator,
+                                                    LowPassFilter)
+
+    k = 0.5
+    box = BoxcarIntegrator(k)
+    bil = BilinearIntegrator(k)
+    xs = [1.0, -2.0, 3.0]
+    h = 0.0
+    for x in xs:
+        h_new = h + k * x
+        assert abs(box.update(x) - h_new) < 1e-12
+        assert abs(bil.update(x) - (h + h_new) / 2) < 1e-12
+        h = h_new
+
+    lp = LowPassFilter(0.25)
+    y = 0.0
+    for x in xs:
+        y = 0.25 * x + 0.75 * y
+        assert abs(lp.update(x) - y) < 1e-12
+
+
+def test_fir_streaming_matches_batch():
+    from navlab_dpe_sdr_tpu.libgnss.filters import (FIRfilter,
+                                                    design_lowpass_fir)
+
+    b = design_lowpass_fir(11, fs=10.0, f_cut=2.0)
+    assert abs(np.sum(b) - 1.0) < 1e-12      # unity DC gain
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(100)
+    # block-streaming output == one-shot 'valid' convolution on the
+    # zero-padded prefix
+    f = FIRfilter(b)
+    out = np.concatenate([f.update(sig[:30]), f.update(sig[30:55]),
+                          f.update(sig[55:])])
+    want = np.convolve(b, np.concatenate([np.zeros(10), sig]), "valid")
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_running_average_vectorized():
+    from navlab_dpe_sdr_tpu.libgnss import filters as flt
+
+    st = flt.running_average_init(3, average=0.0, shape=(2,))
+    xs = np.array([[1.0, 10.0], [2.0, 20.0], [3.0, 30.0], [4.0, 40.0]])
+    for x in xs:
+        st, y = flt.running_average_update(st, x)
+    np.testing.assert_allclose(y, [np.mean([2, 3, 4]), np.mean([20, 30, 40])])
