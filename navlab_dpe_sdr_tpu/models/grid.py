@@ -73,6 +73,10 @@ def uniform_grid(n: int = 15, pos_spacing: float | None = None,
                  vel_spacing: float | None = None) -> Grid:
     """Evenly spaced n^4 grids. Defaults reproduce the reference's
     'generate_evenly_spaced': span +/- 0.6 chips of light travel."""
+    if 2 * n ** 4 > MAX_GRID_POINTS:   # guard before materializing ~GBs
+        raise ValueError(
+            f"grid would have {2 * n ** 4} points; cap is 2*75^4 = "
+            f"{MAX_GRID_POINTS} (reference BCM_MAX_GRID_SIZE)")
     if pos_spacing is None:
         half = C / F_CA * 2.0 * 0.6
         axis = np.linspace(-half, half, n)
