@@ -213,3 +213,35 @@ def test_newton_refine_batched():
     enu = np.stack([r @ (f.x_ecef[0:3] - truth[0:3]) for f in rx.fixes[-6:]])
     frac = np.minimum(np.mod(np.abs(enu), 5.0), 5.0 - np.mod(np.abs(enu), 5.0))
     assert frac.max() > 1e-3, enu
+
+
+def test_integrated_mode_holds_weak_signal():
+    """At 30 dB-Hz the per-block argmax scatters off (tens of meters); the
+    on-device K-block score integration holds the fix — a sensitivity
+    capability the reference's fetch-per-block architecture cannot express."""
+    import copy
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0)
+    n = 50000 * 32
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+
+    rx_pb = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                        copy.deepcopy(hand), grid=spread_grid(),
+                        eph=copy.deepcopy(arr))
+    rx_pb.run(32)
+    e_pb = np.median([np.linalg.norm(f.x_ecef[:3] - truth[:3])
+                      for f in rx_pb.fixes])
+
+    rx_int = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                         copy.deepcopy(hand), grid=spread_grid(),
+                         eph=copy.deepcopy(arr))
+    rx_int.run_integrated(4, blocks_per_fix=8)
+    e_int = np.median([np.linalg.norm(f.x_ecef[:3] - truth[:3])
+                       for f in rx_int.fixes])
+
+    assert e_pb > 30.0, e_pb          # the per-block floor really is broken
+    assert e_int < 25.0, e_int        # integration restores the fix
+    assert e_int < 0.6 * e_pb, (e_int, e_pb)
