@@ -12,6 +12,7 @@ cudarecv/utils/src/rinexparse.cpp:20-495.
 from __future__ import annotations
 
 import datetime
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -31,6 +32,39 @@ def _epoch_to_tow(yy: int, mm: int, dd: int, hh: int, mi: int, ss: float) -> flo
     d = datetime.date(year, mm, dd)
     dow = (d.weekday() + 1) % 7  # Mon=0 -> GPS Sun=0
     return dow * 86400.0 + hh * 3600.0 + mi * 60.0 + ss
+
+
+@dataclass
+class RinexHeader:
+    """RINEX 2 nav header fields (reference rinexparse.cpp:88-133)."""
+    ion_alpha: np.ndarray | None = None    # Klobuchar alpha [4]
+    ion_beta: np.ndarray | None = None     # Klobuchar beta [4]
+    delta_utc: tuple | None = None         # (A0, A1, T, W)
+    leap_seconds: int | None = None
+
+
+def read_header(path: str) -> RinexHeader:
+    """Parse the nav-file header: ION ALPHA/BETA (Klobuchar, used by
+    libgnss.iono), DELTA-UTC A0/A1/T/W, LEAP SECONDS."""
+    hdr = RinexHeader()
+    with open(path) as fo:
+        for ln in fo:
+            label = ln[60:].strip()
+            if "END OF HEADER" in label:
+                break
+            body = ln[:60]
+            if label == "ION ALPHA":
+                hdr.ion_alpha = np.array([_f(body[2 + 12 * k:2 + 12 * (k + 1)])
+                                          for k in range(4)])
+            elif label == "ION BETA":
+                hdr.ion_beta = np.array([_f(body[2 + 12 * k:2 + 12 * (k + 1)])
+                                         for k in range(4)])
+            elif label == "DELTA-UTC: A0,A1,T,W":
+                hdr.delta_utc = (_f(body[3:22]), _f(body[22:41]),
+                                 int(body[41:50]), int(body[50:59]))
+            elif label == "LEAP SECONDS":
+                hdr.leap_seconds = int(body[:6])
+    return hdr
 
 
 def parse_rinex_nav(path: str) -> dict[int, list[Ephemeris]]:

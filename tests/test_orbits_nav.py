@@ -91,3 +91,71 @@ def test_gdop_reasonable(rinex_path, handoff_path):
         hand.cp, hand.rc, hand.fi, arr, rx_time0=hand.rx_time)
     g = naveng.gdop(x_eci, sats_eci)
     assert 1.0 < g < 10.0
+
+
+# -- RINEX header + Klobuchar iono (reference rinexparse.cpp:88-133,
+#    satpos.py:199-277 dead code made live) ---------------------------------
+
+def test_rinex_header_fields(tmp_path):
+    from navlab_dpe_sdr_tpu.libgnss import rinex as rx
+
+    p = tmp_path / "hdr.18n"
+    p.write_text(
+        "     2.10           NAVIGATION DATA                        "
+        " RINEX VERSION / TYPE\n"
+        "    0.1118D-07  0.2235D-07 -0.5960D-07 -0.1192D-06         "
+        " ION ALPHA           \n"
+        "    0.1167D+06  0.1802D+06 -0.1311D+06 -0.4588D+06         "
+        " ION BETA            \n"
+        "    0.133226763247D-14 0.107469588780D-12   233472     1860"
+        " DELTA-UTC: A0,A1,T,W\n"
+        "    18                                                     "
+        " LEAP SECONDS        \n"
+        "                                                           "
+        " END OF HEADER       \n")
+    hdr = rx.read_header(str(p))
+    np.testing.assert_allclose(hdr.ion_alpha,
+                               [0.1118e-7, 0.2235e-7, -0.5960e-7, -0.1192e-6])
+    np.testing.assert_allclose(hdr.ion_beta,
+                               [0.1167e6, 0.1802e6, -0.1311e6, -0.4588e6])
+    assert hdr.leap_seconds == 18
+    a0, a1, t_ref, week = hdr.delta_utc
+    assert (t_ref, week) == (233472, 1860)
+    assert abs(a0 - 0.133226763247e-14) < 1e-25
+
+    # the demo fixture has a bare header: every field None, no crash
+    hdr2 = rx.read_header("/root/reference/demofiles/nist1860.18n")
+    assert hdr2.ion_alpha is None and hdr2.leap_seconds is None
+
+
+def test_klobuchar_properties():
+    from navlab_dpe_sdr_tpu.constants import C
+    from navlab_dpe_sdr_tpu.libgnss.iono import (klobuchar_delay,
+                                                 klobuchar_delay_m)
+
+    alpha = [0.1118e-7, 0.2235e-7, -0.5960e-7, -0.1192e-6]
+    beta = [0.1167e6, 0.1802e6, -0.1311e6, -0.4588e6]
+    lat, lon = 40.0, -105.0
+
+    # local 14:00 (peak) vs local 02:00 (night floor): lon -105 deg -> 7 h
+    # behind UTC; pick tow so that t_local = tow + 4.32e4 * lam_i
+    day = klobuchar_delay(alpha, beta, lat, lon, np.deg2rad(40.0),
+                          np.deg2rad(180.0), 21 * 3600.0)   # ~14:00 local
+    night = klobuchar_delay(alpha, beta, lat, lon, np.deg2rad(40.0),
+                            np.deg2rad(180.0), 9 * 3600.0)  # ~02:00 local
+    assert night == klobuchar_delay(alpha, beta, lat, lon,
+                                    np.deg2rad(40.0), np.deg2rad(180.0),
+                                    9.5 * 3600.0)           # flat floor
+    assert day > night > 0.0
+    # night floor is F * 5 ns; at 40 deg elevation F ~ 1.1-1.4
+    assert 5e-9 < night < 8e-9
+    # daytime zenith-ish delay is 5-30 ns at these (real 2018) coefficients
+    assert 8e-9 < day < 60e-9
+
+    # low elevation inflates by the obliquity factor
+    low = klobuchar_delay(alpha, beta, lat, lon, np.deg2rad(5.0),
+                          np.deg2rad(180.0), 21 * 3600.0)
+    assert low > 2.0 * day
+    assert abs(klobuchar_delay_m(alpha, beta, lat, lon, np.deg2rad(40.0),
+                                 np.deg2rad(180.0), 21 * 3600.0)
+               - C * day) < 1e-9
