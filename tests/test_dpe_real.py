@@ -245,3 +245,39 @@ def test_integrated_mode_holds_weak_signal():
     assert e_pb > 30.0, e_pb          # the per-block floor really is broken
     assert e_int < 25.0, e_int        # integration restores the fix
     assert e_int < 0.6 * e_pb, (e_int, e_pb)
+
+
+def test_bf16_tap_scoring_matches_f32():
+    """The TPU fast path scores with bfloat16 tap operands (f32 accumulate).
+    On realistic peaked windows the argmax must match the f32 path and the
+    peak score must agree to bf16 rounding (~0.4%)."""
+    import jax.numpy as jnp
+    from navlab_dpe_sdr_tpu.ops import dpe_real as dr
+
+    rng = np.random.default_rng(7)
+    n_b, c, w, g = 3, 8, 16, 4000
+    # peaked correlation-like windows + noise
+    lag = np.arange(w) - (w / 2)
+    win = (1e4 * np.maximum(0, 1 - np.abs(lag) / 4.0)[None, None, :]
+           + rng.standard_normal((n_b, c, w)) * 300.0).astype(np.float32)
+    los = rng.standard_normal((n_b, c, 3)).astype(np.float32)
+    centers = np.full((n_b, c), w / 2, np.float32)
+    coefs = np.full((n_b, c), 0.05, np.float32)
+    r0 = np.full((n_b, c), 2.0e7, np.float32)
+    off3 = (rng.standard_normal((g, 3)) * 40).astype(np.float32)
+    off1 = (rng.standard_normal(g) * 40).astype(np.float32)
+
+    out = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        dr.SCORE_TAP_DTYPE = dt
+        try:
+            best, arg = dr._score_axis_argmax(
+                jnp.asarray(win), jnp.asarray(los), jnp.asarray(centers),
+                jnp.asarray(coefs), jnp.asarray(r0), jnp.asarray(off3),
+                jnp.asarray(off1), "quadratic", 1)
+            out[dt] = (np.asarray(best), np.asarray(arg))
+        finally:
+            dr.SCORE_TAP_DTYPE = None
+    np.testing.assert_array_equal(out[jnp.float32][1], out[jnp.bfloat16][1])
+    np.testing.assert_allclose(out[jnp.float32][0], out[jnp.bfloat16][0],
+                               rtol=5e-3)
