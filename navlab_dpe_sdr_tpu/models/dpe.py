@@ -670,6 +670,13 @@ class DPEReceiver:
             return_windows=(self.cfg.refine == "newton"
                             or self.cfg.ekf_mode == "full"),
             mesh=self.cfg.mesh)
+        try:
+            # queue the device->host copy now: it runs as soon as the batch
+            # finishes on device, overlapping the NEXT batch's host prep, so
+            # the later np.asarray in _drain_batch finds the data host-side
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):   # backend without support
+            pass
         return out, preps
 
     def _drain_batch(self, out, preps):
