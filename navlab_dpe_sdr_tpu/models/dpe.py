@@ -83,6 +83,13 @@ class DPEConfig:
                                        # "full" (white-accel PV process)
     ekf_q_pos: float = 25.0            # pos/clock random-walk PSD [m^2/s]
                                        # (correlated-argmax inflation floor)
+    code_win: int | None = None        # score-window widths [samples/bins].
+    carr_win: int | None = None        # None = sized to the grid geometry
+                                       # (ops.dpe.auto_windows) — the weight
+                                       # tensor over the grid is the HBM
+                                       # bottleneck and its traffic scales
+                                       # with width, so narrow exact windows
+                                       # are the single biggest scoring lever.
 
 
 class DPEReceiver:
@@ -126,6 +133,19 @@ class DPEReceiver:
         rawfile.set_block(self.cfg.T, self.cfg.T, verbose=False)
         self.S = rawfile.S
         self.carr_fftpts = rawfile.carr_fftpts
+
+        # score-window widths: exact-safe minimum for this grid (traffic of
+        # the scoring weight tensor ~ G*C*width; see ops.dpe.auto_windows)
+        auto_cw, auto_vw = dpe_ops.auto_windows(
+            self.grid.d_enu, self.grid.dt_m, self.grid.dv_enu,
+            self.grid.dtdot, rawfile.fs, self.carr_fftpts)
+        self.code_win = self.cfg.code_win or auto_cw
+        self.carr_win = self.cfg.carr_win or auto_vw
+        if self.code_win < auto_cw or self.carr_win < auto_vw:
+            raise ValueError(
+                f"score windows ({self.code_win}, {self.carr_win}) too "
+                f"narrow for this grid: outer grid points would score "
+                f"clamped window edges (need >= ({auto_cw}, {auto_vw}))")
         self._time_idc = jnp.asarray((np.arange(self.S) / rawfile.fs)
                                      .astype(np.float32))
         self._chips_np = ca_table(self.prn_list)   # [C, 1023] int8
@@ -178,11 +198,13 @@ class DPEReceiver:
                 self._sharded_step = pmesh.sharded_dpe_step_real(
                     self.cfg.mesh, carr_fftpts=self.carr_fftpts,
                     period=self.period, n_periods=self.S // self.period,
-                    l_power=self.cfg.l_power, interp=self.cfg.interp)
+                    l_power=self.cfg.l_power, interp=self.cfg.interp,
+                    code_win=self.code_win, carr_win=self.carr_win)
             else:
                 self._sharded_step = pmesh.sharded_dpe_step(
                     self.cfg.mesh, carr_fftpts=self.carr_fftpts,
-                    l_power=self.cfg.l_power, interp=self.cfg.interp)
+                    l_power=self.cfg.l_power, interp=self.cfg.interp,
+                    code_win=self.code_win, carr_win=self.carr_win)
             (self._d_enu, self._dt_m, self._dv_enu,
              self._dtdot) = pmesh.shard_grid(
                 self.cfg.mesh,
@@ -342,11 +364,11 @@ class DPEReceiver:
          r_e2n) = self._manifold_params(sats_eci)
 
         pos_start = np.clip(np.round(pos_idx_c).astype(np.int64)
-                            - dpe_ops.CODE_WIN // 2, 0,
-                            self.S - dpe_ops.CODE_WIN).astype(np.int32)
+                            - self.code_win // 2, 0,
+                            self.S - self.code_win).astype(np.int32)
         vel_start = np.clip(np.round(vel_idx_c).astype(np.int64)
-                            - dpe_ops.CARR_WIN // 2, 0,
-                            self.carr_fftpts - dpe_ops.CARR_WIN).astype(np.int32)
+                            - self.carr_win // 2, 0,
+                            self.carr_fftpts - self.carr_win).astype(np.int32)
         params = dpe_ops.ManifoldParams(
             los_enu=jnp.asarray(los_enu.astype(np.float32)),
             r0=jnp.asarray(r0.astype(np.float32)),
@@ -363,7 +385,8 @@ class DPEReceiver:
                 rc_snap, dfc_snap, self.rawfile.fs, self.cfg.T, self.S)
             step_fn = self._sharded_step or functools.partial(
                 dpe_ops.dpe_device_step, carr_fftpts=self.carr_fftpts,
-                l_power=self.cfg.l_power, interp=self.cfg.interp)
+                l_power=self.cfg.l_power, interp=self.cfg.interp,
+                code_win=self.code_win, carr_win=self.carr_win)
             (pos_scores, pos_arg, vel_scores, vel_arg,
              flip_used) = step_fn(
                 raw, self._code_fft0,
@@ -383,7 +406,8 @@ class DPEReceiver:
                 dpe_real_ops.dpe_device_step_real,
                 carr_fftpts=self.carr_fftpts, period=self.period,
                 n_periods=self.S // self.period,
-                l_power=self.cfg.l_power, interp=self.cfg.interp)
+                l_power=self.cfg.l_power, interp=self.cfg.interp,
+                code_win=self.code_win, carr_win=self.carr_win)
             (pos_scores, pos_arg, vel_scores, vel_arg,
              flip_used, code_mag, carr_mag) = step_fn(
                 raw_re, raw_im, self._chips_f32, self._base0,
@@ -509,11 +533,11 @@ class DPEReceiver:
         (los_enu, r0, pos_idx_c, pos_coef, vel_idx_c, vel_coef,
          r_e2n) = self._manifold_params(sats_eci)
         pos_start = np.clip(np.round(pos_idx_c).astype(np.int64)
-                            - dpe_ops.CODE_WIN // 2, 0,
-                            self.S - dpe_ops.CODE_WIN).astype(np.int32)
+                            - self.code_win // 2, 0,
+                            self.S - self.code_win).astype(np.int32)
         vel_start = np.clip(np.round(vel_idx_c).astype(np.int64)
-                            - dpe_ops.CARR_WIN // 2, 0,
-                            self.carr_fftpts - dpe_ops.CARR_WIN).astype(np.int32)
+                            - self.carr_win // 2, 0,
+                            self.carr_fftpts - self.carr_win).astype(np.int32)
 
         fpk = np.stack([
             rc_mid, fi_corr, ri_corr,
@@ -523,6 +547,158 @@ class DPEReceiver:
         ]).astype(np.float32)                               # [11, C]
         ipk = np.stack([idx_next, pos_start, vel_start]).astype(np.int32)
         return fpk, ipk, r_e2n, self.rx_time, self.mc, self.ekf.x.copy()
+
+    def _prepare_batch(self, n: int):
+        """Vectorized host prep for n blocks — [N, C] math throughout.
+
+        Produces exactly what [self._prepare_block() for _ in range(n)]
+        produces (same prep tuples, same end-of-batch receiver state), but
+        with three whole-batch satellite-state/frame evaluations instead of
+        3n small-array ones: with the state frozen across the batch, each
+        block's channel back-calculation is a closed-form function of its
+        own epoch (the only cross-block recurrence is the carrier-phase
+        accumulation, a cumsum). ~20x less host time per batch — host prep
+        was the residual critical-path term once the device scan and the
+        result fetch overlap.
+        """
+        if self.eph_manager is not None:
+            self._maybe_reselect_eph()
+            probe = [self.eph_manager._pick(self.eph_manager.table[p],
+                                            self.rx_time + n * self.cfg.T)
+                     for p in self.eph_manager.prn_list]
+            if probe != self.eph_manager.current_idx:
+                # ephemeris set cutover inside this batch: take the exact
+                # per-block path so the switch lands on its block boundary
+                return [self._prepare_block() for _ in range(n)]
+
+        T = self.cfg.T
+        rf = self.rawfile
+        eph = self.eph
+        full = self.ekf.mode == "full"
+
+        # EKF chain: n time updates (F = I except "full")
+        xs = np.empty((n, 8))
+        if full:
+            x = self.ekf.x
+            for k in range(n):
+                x = self.ekf.F @ x
+                xs[k] = x
+                self.ekf.P = (self.ekf.F @ self.ekf.P @ self.ekf.F.T
+                              + self.ekf.Q)
+            self.ekf.x = x.copy()
+        else:
+            xs[:] = self.ekf.x
+        rx_times = np.empty(n)
+        t = self.rx_time
+        for k in range(n):            # sequential += T, as the scalar path
+            t += T
+            rx_times[k] = t
+        self.rx_time = t
+        rx_a = rx_times - xs[:, 3] / C
+        self.rx_time_a = rx_a[-1]
+        # otau == 0 at (t_gps == t_c): identity rotation + earth-rate
+        # velocity term, per-block (frames.ecef_to_eci contract)
+        x_eci = frames.ecef_to_eci(xs.T, t_gps=0.0, t_c=0.0)    # [8, N]
+
+        # ---- stage A: code-phase solve at every block epoch -------------
+        # chips since the decode anchor: phi = L_CA*(cp - cpts) + rc
+        phi0 = L_CA * (self.cp - eph.cp_timestamp) + self.rc    # [C]
+        ks = np.arange(1, n + 1, dtype=np.float64)[:, None]
+        # nominal (satellite-clock) transmit times; initial guess propagates
+        # the incoming code rate, then two fixed-point refinements (the
+        # scalar path's one refinement from a per-block guess; residual
+        # after two is < 1e-15 s)
+        t_tx = eph.tow_timestamp + (phi0 + self.fc * (ks * T)) / F_CA
+        for _ in range(2):
+            s8, t_tx_c = self._sat_states(t_tx)                 # [8, N, C]
+            sats = frames.ecef_to_eci_batch(s8, t_tx_c, rx_a[:, None])
+            rng = np.linalg.norm(sats[0:3] - x_eci[0:3, :, None], axis=0)
+            bc_pr = rng + x_eci[3][:, None] - C * sats[3]
+            t_tx = rx_times[:, None] - bc_pr / C                # = bc_tt
+        phi = (t_tx - eph.tow_timestamp) * F_CA                 # [N, C]
+        cp_rows = eph.cp_timestamp + np.floor(phi / L_CA)
+        rc_rows = phi - L_CA * (cp_rows - eph.cp_timestamp)
+
+        # ---- stage B: frequency steering at the solved code phases ------
+        # (the scalar path's _update_channels_from_state / _manifold_params
+        # share this epoch and these satellite states)
+        t_tx2 = eph.tow_timestamp + phi / F_CA
+        s8b, t_tx_c2 = self._sat_states(t_tx2)
+        sats2 = frames.ecef_to_eci_batch(s8b, t_tx_c2, rx_a[:, None])
+        dvec = sats2[0:3] - x_eci[0:3, :, None]
+        r0 = np.linalg.norm(dvec, axis=0)                       # [N, C]
+        los = dvec / r0                                         # [3, N, C]
+        rr = x_eci[4:7, :, None] - sats2[4:7]
+        losrr = np.sum(los * rr, axis=0)
+        bc_psr = -losrr + x_eci[7][:, None] - C * sats2[7]
+        fi_rows = (-F_L1 / C * bc_psr) / self.cfg.doppler_sign  # [N, C]
+        bc_pr2 = r0 + x_eci[3][:, None] - C * sats2[3]
+        bc_tt2 = rx_times[:, None] - bc_pr2 / C
+        bc_rc2 = ((bc_tt2 - eph.tow_timestamp) * F_CA
+                  - L_CA * (cp_rows - eph.cp_timestamp))
+        fc_rows = F_CA + rf.fcaid * fi_rows + (bc_rc2 - rc_rows) / T
+
+        # previous-block snapshots (row 0 = incoming channel state)
+        cp_prev = np.vstack([self.cp, cp_rows[:-1]])
+        rc_prev = np.vstack([self.rc, rc_rows[:-1]])
+        fc_prev = np.vstack([self.fc, fc_rows[:-1]])
+        fi_prev = np.vstack([self.fi, fi_rows[:-1]])
+        ri_prev = np.mod(self.ri + np.concatenate(
+            [[np.zeros_like(self.ri)],
+             np.cumsum(fi_prev * T, axis=0)[:-1]]), 1.0)        # [N, C]
+
+        # nav-bit flip sample (_idx_next_bit, vectorized over blocks)
+        cp_since = np.mod(cp_prev - eph.cp_timestamp, 20.0)
+        idx_next = (np.floor((L_CA * (20.0 - cp_since) - rc_prev)
+                             * (rf.fs / fc_prev)).astype(np.int64) + 1)
+        idx_next = np.where((idx_next > 0) & (idx_next < self.S),
+                            idx_next, self.S).astype(np.int32)
+
+        dfc = fc_prev - F_CA
+        rc_mid = np.mod(rc_prev + dfc * (T / 2.0), L_CA)
+
+        # manifold geometry (_manifold_params over the batch; bc_fi == the
+        # just-steered fi, so the velocity center residual is exactly 0)
+        bc_rc0 = bc_rc2 - rc_rows
+        pos_idx_c = (rf.fs / fc_rows) * (-bc_rc0) + self.S / 2.0
+        pos_coef = (rf.fs / fc_rows) * (F_CA / C)
+        vel_idx_c = np.full_like(pos_idx_c, self.carr_fftpts / 2.0)
+        vel_coef = np.full_like(pos_idx_c,
+                                -(self.carr_fftpts / rf.fs)
+                                * F_L1 / (C * self.cfg.doppler_sign))
+        pos_start = np.clip(np.round(pos_idx_c).astype(np.int64)
+                            - self.code_win // 2, 0,
+                            self.S - self.code_win).astype(np.int32)
+        vel_start = np.clip(np.round(vel_idx_c).astype(np.int64)
+                            - self.carr_win // 2, 0,
+                            self.carr_fftpts - self.carr_win).astype(np.int32)
+
+        if full:
+            r_e2ns = [frames.ecef_to_enu_matrix(xs[k, 0:3])
+                      for k in range(n)]
+        else:
+            r_e2ns = [frames.ecef_to_enu_matrix(xs[0, 0:3])] * n
+        los_enu = np.einsum("nij,jnc->nic", np.stack(r_e2ns), los)  # [N,3,C]
+
+        fpk_all = np.stack([
+            rc_mid, fi_prev, ri_prev,
+            los_enu[:, 0], los_enu[:, 1], los_enu[:, 2], r0,
+            pos_idx_c - pos_start, pos_coef,
+            vel_idx_c - vel_start, vel_coef,
+        ], axis=1).astype(np.float32)                           # [N, 11, C]
+        ipk_all = np.stack([idx_next, pos_start, vel_start],
+                           axis=1).astype(np.int32)             # [N, 3, C]
+
+        # commit end-of-batch channel state (== n x _prepare_block)
+        self.cp = cp_rows[-1].copy()
+        self.rc = rc_rows[-1].copy()
+        self.fi = fi_rows[-1].copy()
+        self.fc = fc_rows[-1].copy()
+        self.ri = np.mod(ri_prev[-1] + fi_prev[-1] * T, 1.0)
+        mc0 = self.mc
+        self.mc += n
+        return [(fpk_all[k], ipk_all[k], r_e2ns[k], rx_times[k],
+                 mc0 + k + 1, xs[k].copy()) for k in range(n)]
 
     @staticmethod
     def _refine_ml(win_mag, center, coef, los_enu, d0, iters: int = 4,
@@ -648,9 +824,9 @@ class DPEReceiver:
 
     def _dispatch_batch(self, n, raw_blocks_dev, start_block, done):
         rf = self.rawfile
-        preps = [self._prepare_block() for _ in range(n)]
-        fpk = jnp.asarray(np.stack([p[0] for p in preps]))      # [N, 11, C]
-        ipk = jnp.asarray(np.stack([p[1] for p in preps]))      # [N, 3, C]
+        preps = self._prepare_batch(n)
+        fpk = np.stack([p[0] for p in preps])                   # [N, 11, C]
+        ipk = np.stack([p[1] for p in preps])                   # [N, 3, C]
 
         if raw_blocks_dev is None:
             blocks = np.stack([rf.read_block_raw() for _ in range(n)])
@@ -660,8 +836,11 @@ class DPEReceiver:
             raw_dev = raw_blocks_dev
             start = start_block + done
 
+        # ONE parameter upload per batch (every host->device buffer is a
+        # fixed-latency RPC on a remote-attached accelerator)
+        pk = jnp.asarray(dpe_real_ops.pack_params(fpk, ipk, start))
         out = dpe_real_ops.dpe_batch_blocks(
-            raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
+            raw_dev, pk, self._chips_f32, self._base0,
             self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
             self._dtdot, carr_fftpts=self.carr_fftpts,
             period=self.period, n_periods=self.S // self.period,
@@ -669,7 +848,8 @@ class DPEReceiver:
             interp=self.cfg.interp,
             return_windows=(self.cfg.refine == "newton"
                             or self.cfg.ekf_mode == "full"),
-            mesh=self.cfg.mesh)
+            mesh=self.cfg.mesh,
+            code_win=self.code_win, carr_win=self.carr_win)
         try:
             # queue the device->host copy now: it runs as soon as the batch
             # finishes on device, overlapping the NEXT batch's host prep, so
@@ -682,8 +862,8 @@ class DPEReceiver:
     def _drain_batch(self, out, preps):
         rows = np.asarray(out)                                  # one fetch
         c = len(self.prn_list)
-        cw = dpe_ops.CODE_WIN
-        vw = dpe_ops.CARR_WIN
+        cw = self.code_win
+        vw = self.carr_win
         pas = rows[:, 0].astype(np.int64)
         pps = rows[:, 1]
         vas = rows[:, 2].astype(np.int64)
@@ -752,9 +932,9 @@ class DPEReceiver:
         done = 0
         for _ in range(n_batches):
             n = blocks_per_fix
-            preps = [self._prepare_block() for _ in range(n)]
-            fpk = jnp.asarray(np.stack([p[0] for p in preps]))
-            ipk = jnp.asarray(np.stack([p[1] for p in preps]))
+            preps = self._prepare_batch(n)
+            fpk = np.stack([p[0] for p in preps])
+            ipk = np.stack([p[1] for p in preps])
             if raw_blocks_dev is None:
                 blocks = np.stack([rf.read_block_raw() for _ in range(n)])
                 raw_dev = jnp.asarray(blocks)
@@ -762,13 +942,15 @@ class DPEReceiver:
             else:
                 raw_dev = raw_blocks_dev
                 start = start_block + done
+            pk = jnp.asarray(dpe_real_ops.pack_params(fpk, ipk, start))
             row, flips = dpe_real_ops.dpe_scan_integrate(
-                raw_dev, start, fpk, ipk, self._chips_f32, self._base0,
+                raw_dev, pk, self._chips_f32, self._base0,
                 self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
                 self._dtdot, carr_fftpts=self.carr_fftpts,
                 period=self.period, n_periods=self.S // self.period,
                 n_blocks=n, l_power=self.cfg.l_power,
-                interp=self.cfg.interp, mesh=self.cfg.mesh)
+                interp=self.cfg.interp, mesh=self.cfg.mesh,
+                code_win=self.code_win, carr_win=self.carr_win)
             row = np.asarray(row)
             flips = np.asarray(flips)
             # the measurement is referenced to the LAST block's prediction

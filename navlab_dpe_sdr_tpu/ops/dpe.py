@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import C, F_CA, L_CA
+from ..constants import C, F_CA, F_L1, L_CA
 
 CODE_WIN = 16   # samples of code_corr kept around each channel's center.
 # The position manifold spans ~+/-2 samples (|drange + dt| <~ 250 m at
@@ -51,6 +51,41 @@ CARR_WIN = 48   # carrier FFT bins kept around each channel's center.
 # carrier-prediction margin; the interpolation weight tensor over the grid
 # is the HBM-bandwidth bottleneck, so width is traffic.
 _SCORE_CHUNK = 16384  # grid points per interpolation chunk
+
+
+def auto_windows(d_enu, dt_m, dv_enu, dtdot, fs: float,
+                 carr_fftpts: int) -> tuple[int, int]:
+    """Smallest safe (code_win, carr_win) for a given search grid.
+
+    The scoring weight tensor is O(grid x channels x window width) of HBM
+    traffic — the hot-path bottleneck — so the windows are sized to the
+    grid geometry instead of a fixed worst case. Exactness bound: the
+    3-tap interpolation reads k0-1..k0+1 with k0 = round(idx) clipped to
+    [1, W-2]; no clipping occurs iff W >= 2*span + 4, where span is the
+    max |idx - window center| =
+      code:  (fs/c) * (max ||d_enu|| + curvature + max |dt|)
+      carr:  (carr_fftpts/fs) * (f_L1/c) * (max ||dv_enu|| + max |dtdot|)
+    (window centers are rounded to integers, covered by the +4; see
+    models/dpe._prepare_block). A slack sample absorbs f32 index fuzz and
+    the <~1e-5 fc-dependence of the code coefficient. The reference's
+    fixed-size equivalent is the full [numChan x S] score array
+    (batchcorrscores.cu:696-698) — it never pays this traffic because it
+    materializes everything.
+    """
+    r_min = 1.9e7   # closest GPS range [m]; curvature term (d^2-u^2)/(2 r0)
+    dmax = float(np.linalg.norm(d_enu, axis=1).max(initial=0.0))
+    span_m = dmax + dmax * dmax / (2.0 * r_min) + float(
+        np.abs(dt_m).max(initial=0.0))
+    span_code = (fs / C) * 1.001 * span_m
+    vmax = float(np.linalg.norm(dv_enu, axis=1).max(initial=0.0))
+    span_carr = ((carr_fftpts / fs) * (F_L1 / C)
+                 * (vmax + float(np.abs(dtdot).max(initial=0.0))))
+
+    def _w(span):
+        w = int(np.ceil(2.0 * span + 5.0))
+        return max(8, (w + 3) // 4 * 4)     # multiple of 4, floor 8
+
+    return _w(span_code), _w(span_carr)
 
 
 class BlockScores(NamedTuple):
@@ -227,12 +262,14 @@ def score_manifolds(code_win: jax.Array, carr_win: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("carr_fftpts", "l_power", "interp"))
+                   static_argnames=("carr_fftpts", "l_power", "interp",
+                                    "code_win", "carr_win"))
 def dpe_device_step(raw, code_fft0, m_int, m_frac, idx_next, fi, ri,
                     time_idc, pos_start, vel_start, params: ManifoldParams,
                     d_enu, dt_m, dv_enu, dtdot,
                     carr_fftpts: int, l_power: int = 1,
-                    interp: str = "quadratic"):
+                    interp: str = "quadratic",
+                    code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
     """Fused device step: replica shift + batch correlate + manifold score.
 
     The single-jit flagship computation: one 20 ms block in, the two grid
@@ -247,11 +284,11 @@ def dpe_device_step(raw, code_fft0, m_int, m_frac, idx_next, fi, ri,
             lambda row, st: jax.lax.dynamic_slice(row, (st,), (width,)))(
                 arr, start)
 
-    code_win = slice_one(scores.code_corr, pos_start, CODE_WIN)
-    carr_win = slice_one(scores.carr_fft, vel_start, CARR_WIN)
+    code_w = slice_one(scores.code_corr, pos_start, code_win)
+    carr_w = slice_one(scores.carr_fft, vel_start, carr_win)
 
     pos_scores, pos_arg, vel_scores, vel_arg = score_manifolds(
-        code_win, carr_win, params, d_enu, dt_m, dv_enu, dtdot,
+        code_w, carr_w, params, d_enu, dt_m, dv_enu, dtdot,
         l_power=l_power, interp=interp)
     return (pos_scores, pos_arg, vel_scores, vel_arg, scores.flip_used)
 

@@ -112,14 +112,15 @@ def _lag_matrix(period_repl, m_signed):
                     in_axes=(0, 0))(repl2, start)          # [C, W, P0]
 
 
-def _dft_twiddles(vel_start, f_total: int, s1_n: int, s0_n: int):
+def _dft_twiddles(vel_start, f_total: int, s1_n: int, s0_n: int,
+                  carr_win: int):
     """Two-stage windowed-DFT twiddle tables with integer-exact phases.
 
     Bin j of the (fftshifted) carrier window maps to DFT bin
     k = (vel_start + j - F/2) mod F. Stage split: s = s0_n * s1 + s0.
     Returns (a_cos, a_sin, b_cos, b_sin): [C, W, s1_n] and [C, W, s0_n].
     """
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, CARR_WIN), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, carr_win), 1)
     k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2),
                 np.int32(f_total))                        # [C, W]
 
@@ -135,23 +136,26 @@ def _dft_twiddles(vel_start, f_total: int, s1_n: int, s0_n: int):
 
 
 class RealBlockOut(NamedTuple):
-    code_mag: jax.Array    # [C, CODE_WIN]
-    carr_mag: jax.Array    # [C, CARR_WIN]
+    code_mag: jax.Array    # [C, code_win]
+    carr_mag: jax.Array    # [C, carr_win]
     flip_used: jax.Array   # [C]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("carr_fftpts", "period", "n_periods"))
+                   static_argnames=("carr_fftpts", "period", "n_periods",
+                                    "code_win", "carr_win"))
 def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                        fi, ri, time_idc, pos_start, vel_start,
-                       carr_fftpts: int, period: int, n_periods: int
+                       carr_fftpts: int, period: int, n_periods: int,
+                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN
                        ) -> RealBlockOut:
     """Windowed code correlation + windowed carrier DFT (all-real).
 
     raw_re/raw_im: [S]; chips: [C, 1023]; base0: [period] nominal chip
     indices; rc_mid: [C] mid-block code phase; idx_next: [C] nav-bit flip
     sample (S for none); fi/ri: [C]; pos_start/vel_start: [C] window origins
-    (fftshifted index space).
+    (fftshifted index space). code_win/carr_win: window widths — sized to
+    the grid via ops.dpe.auto_windows (weight-tensor traffic ~ width).
     """
     s = raw_re.shape[0]
     c = chips.shape[0]
@@ -182,7 +186,7 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     fold_tail_im = fold(bb_im * tail)
 
     # window lags
-    l = jax.lax.broadcasted_iota(jnp.int32, (1, CODE_WIN), 1)
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, code_win), 1)
     m_signed = pos_start[:, None] + l - np.int32(s // 2)    # [C, W]
     lag = _lag_matrix(p_repl, jnp.mod(m_signed, period))    # [C, W, P0]
 
@@ -266,7 +270,7 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     y_im_p = jnp.pad(y_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
 
     a_cos, a_sin, b_cos, b_sin = _dft_twiddles(vel_start, carr_fftpts,
-                                               s1_n, s0_n)
+                                               s1_n, s0_n, carr_win)
     # stage 1: Z[c, w, s0] = sum_s1 y[s1, s0] * e^{-i ang_a(w, s1)}
     z_re = (jnp.einsum("cws,cst->cwt", a_cos, y_re_p,
                        preferred_element_type=jnp.float32)
@@ -310,17 +314,20 @@ def score_manifolds_mag(code_mag, carr_mag, params: ManifoldParams,
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "l_power",
-                                             "interp"))
+                                             "interp", "code_win",
+                                             "carr_win"))
 def dpe_device_step_real(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                          fi, ri, time_idc, pos_start, vel_start,
                          params: ManifoldParams,
                          d_enu, dt_m, dv_enu, dtdot,
                          carr_fftpts: int, period: int, n_periods: int,
-                         l_power: int = 1, interp: str = "quadratic"):
+                         l_power: int = 1, interp: str = "quadratic",
+                         code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
     """Fused all-real DPE block step (windowed engine)."""
     out = windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                              fi, ri, time_idc, pos_start, vel_start,
-                             carr_fftpts, period, n_periods)
+                             carr_fftpts, period, n_periods,
+                             code_win=code_win, carr_win=carr_win)
     pos_scores, pos_arg, vel_scores, vel_arg = score_manifolds_mag(
         out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
         l_power=l_power, interp=interp)
@@ -344,16 +351,40 @@ def dpe_device_step_real(raw_re, raw_im, chips, base0, rc_mid, idx_next,
 
 FPK_ROWS = 11  # rc_mid, fi, ri, los_e, los_n, los_u, r0, pos_c, pos_k, vel_c, vel_k
 IPK_ROWS = 3   # idx_next, pos_start, vel_start
+PK_ROWS = FPK_ROWS + IPK_ROWS + 1  # + start row: ONE upload per batch.
+# The int rows ride as float32 (all values < 2^24, exact); on a
+# remote-attached accelerator every host->device buffer is a fixed-latency
+# RPC, so fpk/ipk/start are packed into a single [N, PK_ROWS, C] array.
+
+
+def pack_params(fpk, ipk, start: int) -> np.ndarray:
+    """[N,11,C] f64/f32 + [N,3,C] int + scalar start -> [N, 15, C] f32."""
+    n, _, c = fpk.shape
+    pk = np.empty((n, PK_ROWS, c), np.float32)
+    pk[:, :FPK_ROWS] = fpk
+    pk[:, FPK_ROWS:FPK_ROWS + IPK_ROWS] = ipk
+    pk[:, FPK_ROWS + IPK_ROWS] = np.float32(start)
+    return pk
+
+
+def _unpack_params(pk):
+    """-> (fpk [N,11,C] f32, ipk [N,3,C] i32, start i32 scalar)."""
+    fpk = pk[:, :FPK_ROWS]
+    ipk = pk[:, FPK_ROWS:FPK_ROWS + IPK_ROWS].astype(jnp.int32)
+    start = pk[0, FPK_ROWS + IPK_ROWS, 0].astype(jnp.int32)
+    return fpk, ipk, start
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
-                                             "l_power", "interp"))
+                                             "l_power", "interp",
+                                             "code_win", "carr_win"))
 def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                     d_enu, dt_m, dv_enu, dtdot,
                     carr_fftpts: int, period: int, n_periods: int,
                     n_blocks: int, l_power: int = 1,
-                    interp: str = "quadratic"):
+                    interp: str = "quadratic",
+                    code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
     """Run n_blocks fused DPE steps in one dispatch.
 
     raw_all_i16: [B, S, 2] int16 (device-resident capture); start: first
@@ -374,7 +405,8 @@ def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
             vel_center=f[9], vel_coef=f[10])
         out = windowed_correlate(raw_re, raw_im, chips, base0, f[0], p[0],
                                  f[1], f[2], time_idc, p[1], p[2],
-                                 carr_fftpts, period, n_periods)
+                                 carr_fftpts, period, n_periods,
+                                 code_win=code_win, carr_win=carr_win)
         ps, pa, vs_, va = score_manifolds_mag(
             out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
             l_power=l_power, interp=interp)
@@ -644,19 +676,23 @@ def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
                                              "l_power", "interp",
-                                             "return_windows", "mesh"))
-def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
+                                             "return_windows", "mesh",
+                                             "code_win", "carr_win"))
+def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
                      d_enu, dt_m, dv_enu, dtdot,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, l_power: int = 1,
                      interp: str = "quadratic",
-                     return_windows: bool = True, mesh=None):
+                     return_windows: bool = True, mesh=None,
+                     code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
-    Same inputs/outputs as dpe_scan_blocks, but every op processes all
-    n_blocks at once — on accelerators with per-kernel dispatch overhead
-    the lax.map body's ~10^2 kernels per block dominate the runtime; the
-    batched form launches each kernel once for the whole batch.
+    pk: [N, PK_ROWS, C] float32 packed per-block parameters + start index
+    (pack_params) — one upload per batch. Outputs as dpe_scan_blocks, but
+    every op processes all n_blocks at once — on accelerators with
+    per-kernel dispatch overhead the lax.map body's ~10^2 kernels per
+    block dominate the runtime; the batched form launches each kernel
+    once for the whole batch.
 
     return_windows=False drops the per-channel score windows from the
     packed row ([N, 4+C] instead of [N, 4+C+C*(CODE_WIN+CARR_WIN)]) —
@@ -668,9 +704,10 @@ def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     over channels; results replicate. The multi-device product path
     (SURVEY §2.3 P7; reference gap at architecture.txt:92-101).
     """
+    fpk, ipk, start = _unpack_params(pk)
     out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                            time_idc, carr_fftpts, period, n_periods,
-                           n_blocks)
+                           n_blocks, code_win, carr_win)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
     out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
     pb, pa = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],
@@ -684,7 +721,8 @@ def dpe_batch_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
 
 def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                      carr_fftpts: int, period: int, n_periods: int,
-                     n_blocks: int) -> RealBlockOut:
+                     n_blocks: int, code_win: int = CODE_WIN,
+                     carr_win: int = CARR_WIN) -> RealBlockOut:
     """Slice n_blocks from the device capture and correlate them (vmapped)."""
     raw = jax.lax.dynamic_slice(
         raw_all_i16, (start, 0, 0),
@@ -692,7 +730,8 @@ def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     raw_re = raw[..., 0].astype(jnp.float32)
     raw_im = raw[..., 1].astype(jnp.float32)
     return jax.vmap(
-        windowed_correlate,
+        functools.partial(windowed_correlate, code_win=code_win,
+                          carr_win=carr_win),
         in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
     )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
       fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
@@ -712,12 +751,14 @@ def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
-                                             "l_power", "interp", "mesh"))
-def dpe_scan_integrate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
+                                             "l_power", "interp", "mesh",
+                                             "code_win", "carr_win"))
+def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                        d_enu, dt_m, dv_enu, dtdot,
                        carr_fftpts: int, period: int, n_periods: int,
                        n_blocks: int, l_power: int = 1,
-                       interp: str = "quadratic", mesh=None):
+                       interp: str = "quadratic", mesh=None,
+                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
     """Multi-block noncoherent score integration in one dispatch.
 
     Accumulates the position/velocity score surfaces over n_blocks
@@ -728,9 +769,10 @@ def dpe_scan_integrate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     accumulating 2x25^4 scores per block is free on device, ruinous to
     fetch. Streaming over grid chunks: dense grids integrate too.
     """
+    fpk, ipk, start = _unpack_params(pk)
     out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                            time_idc, carr_fftpts, period, n_periods,
-                           n_blocks)
+                           n_blocks, code_win, carr_win)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))
     out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
     pb, pa = _score_axis_accumulate(

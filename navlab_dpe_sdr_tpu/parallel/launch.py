@@ -86,13 +86,25 @@ def scaling_bench(mesh, n_iters: int = 3, grid_scale: int = 1,
     dv_enu = jnp.asarray(np.tile(g.dv_enu, (grid_scale, 1)).astype(np.float32))
     dtdot = jnp.asarray(np.tile(g.dtdot, grid_scale).astype(np.float32))
 
+    # grid-adaptive score windows for the scaled grid (the index span
+    # grows with grid_scale; fixed windows would clamp outer points)
+    from ..ops.dpe import auto_windows
+    cw, vw = auto_windows(np.asarray(d_enu), np.asarray(dt_m),
+                          np.asarray(dv_enu), np.asarray(dtdot), 2.5e6,
+                          meta["carr_fftpts"])
+    fpk[:, 7] = cw / 2.0
+    fpk[:, 9] = vw / 2.0
+    ipk[:, 1] = s // 2 - cw // 2
+    ipk[:, 2] = meta["carr_fftpts"] // 2 - vw // 2
+    pk = dr.pack_params(fpk, ipk, 0)
+
     def call():
         return dr.dpe_batch_blocks(
-            jnp.asarray(raw_all), 0, jnp.asarray(fpk), jnp.asarray(ipk),
+            jnp.asarray(raw_all), jnp.asarray(pk),
             chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
             carr_fftpts=meta["carr_fftpts"], period=meta["period"],
             n_periods=meta["n_periods"], n_blocks=n_blocks,
-            return_windows=False, mesh=mesh)
+            return_windows=False, mesh=mesh, code_win=cw, carr_win=vw)
 
     jax.block_until_ready(call())                       # warm
     t0 = time.perf_counter()

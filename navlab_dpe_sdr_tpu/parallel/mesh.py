@@ -58,7 +58,9 @@ def shard_grid(mesh: Mesh, grid_arrays):
 
 def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
                           n_periods: int, l_power: int = 1,
-                          interp: str = "quadratic"):
+                          interp: str = "quadratic",
+                          code_win: int | None = None,
+                          carr_win: int | None = None):
     """Multi-device fused step for the real windowed engine.
 
     Channel-batched correlation shards over 'chan'; manifold scoring shards
@@ -82,7 +84,9 @@ def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
             time_idc, pos_start, vel_start, params,
             d_enu, dt_m, dv_enu, dtdot,
             carr_fftpts=carr_fftpts, period=period, n_periods=n_periods,
-            l_power=l_power, interp=interp)
+            l_power=l_power, interp=interp,
+            code_win=code_win or dpe_ops.CODE_WIN,
+            carr_win=carr_win or dpe_ops.CARR_WIN)
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, repl_sh)
             if x.ndim == 0 else x, out)
@@ -91,7 +95,9 @@ def sharded_dpe_step_real(mesh: Mesh, carr_fftpts: int, period: int,
 
 
 def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1,
-                     interp: str = "quadratic"):
+                     interp: str = "quadratic",
+                     code_win: int | None = None,
+                     carr_win: int | None = None):
     """Build the jitted multi-device DPE step for a given mesh (FFT engine).
 
     Correlation FFTs shard over 'chan'; manifold scoring shards over 'grid';
@@ -112,7 +118,9 @@ def sharded_dpe_step(mesh: Mesh, carr_fftpts: int, l_power: int = 1,
         out = dpe_ops.dpe_device_step(
             raw, code_fft0, m_int, m_frac, idx_next, fi, ri, time_idc,
             pos_start, vel_start, params, d_enu, dt_m, dv_enu, dtdot,
-            carr_fftpts=carr_fftpts, l_power=l_power, interp=interp)
+            carr_fftpts=carr_fftpts, l_power=l_power, interp=interp,
+            code_win=code_win or dpe_ops.CODE_WIN,
+            carr_win=carr_win or dpe_ops.CARR_WIN)
         # replicate the tiny results
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, repl_sh)

@@ -167,3 +167,70 @@ def test_alpha_smoother_beats_passthrough(scene):
         results[mode] = np.median(errs[6:])
     assert results["alpha"] < 8.0, results
     assert results["alpha"] < results["passthrough"] + 1e-9, results
+
+
+def test_auto_window_sizing_and_equivalence(scene):
+    """Grid-adaptive score windows: sized from the grid geometry, exact
+    (identical fixes vs the fixed worst-case widths), and guarded against
+    too-narrow explicit widths (which would score clamped window edges)."""
+    from navlab_dpe_sdr_tpu.ops.dpe import auto_windows
+    from navlab_dpe_sdr_tpu.models.grid import spread_grid
+
+    g = spread_grid()
+    cw, vw = auto_windows(g.d_enu, g.dt_m, g.dv_enu, g.dtdot, FS, 524288)
+    assert cw == 12 and vw == 36       # < the fixed (16, 48) worst case
+    g8 = spread_grid(scale=8.0)
+    cw8, _ = auto_windows(g8.d_enu, g8.dt_m, g8.dv_enu, g8.dtdot, FS, 524288)
+    assert cw8 > 16                    # fixed 16 would clamp at scale 8
+
+    samples, hand, arr = scene
+    fixes = {}
+    for label, cfg in (("auto", DPEConfig()),
+                       ("wide", DPEConfig(code_win=16, carr_win=48))):
+        rf = SampleFile(samples=samples.copy(), fs=FS)
+        rx = DPEReceiver(rf, copy.deepcopy(hand), config=cfg,
+                         eph=copy.deepcopy(arr))
+        if label == "auto":
+            assert (rx.code_win, rx.carr_win) == (12, 36)
+        rx.run(6)
+        fixes[label] = np.stack([f.x_ecef for f in rx.fixes])
+    # same grid argmaxes -> same fixes (scoring reads identical values
+    # through either window; only the f32 window-local index origin moves)
+    np.testing.assert_allclose(fixes["auto"], fixes["wide"],
+                               rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="too narrow"):
+        DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                    copy.deepcopy(hand),
+                    config=DPEConfig(code_win=8, carr_win=48),
+                    eph=copy.deepcopy(arr))
+
+
+def test_prepare_batch_matches_prepare_block(scene):
+    """_prepare_batch (vectorized [N, C] host prep) must reproduce the
+    sequential _prepare_block chain: same prep tuples, same end-of-batch
+    receiver state."""
+    samples, hand, arr = scene
+    rxs = []
+    for _ in range(2):
+        rf = SampleFile(samples=samples.copy(), fs=FS)
+        rxs.append(DPEReceiver(rf, copy.deepcopy(hand),
+                               eph=copy.deepcopy(arr)))
+    rx_v, rx_s = rxs
+    n = 7
+    preps_v = rx_v._prepare_batch(n)
+    preps_s = [rx_s._prepare_block() for _ in range(n)]
+    for k, (pv, ps) in enumerate(zip(preps_v, preps_s)):
+        np.testing.assert_allclose(pv[0], ps[0], rtol=0, atol=2e-4,
+                                   err_msg=f"fpk block {k}")
+        np.testing.assert_array_equal(pv[1], ps[1],
+                                      err_msg=f"ipk block {k}")
+        np.testing.assert_allclose(pv[2], ps[2], rtol=0, atol=1e-12)
+        assert pv[3] == pytest.approx(ps[3], abs=1e-9)   # rx_time
+        assert pv[4] == ps[4]                            # mc
+        np.testing.assert_allclose(pv[5], ps[5], rtol=0, atol=1e-9)
+    for f in ("cp", "rc", "ri", "fi", "fc"):
+        np.testing.assert_allclose(getattr(rx_v, f), getattr(rx_s, f),
+                                   rtol=0, atol=1e-6, err_msg=f)
+    assert rx_v.mc == rx_s.mc
+    assert rx_v.rx_time == pytest.approx(rx_s.rx_time, abs=1e-9)

@@ -65,6 +65,17 @@ def main(argv=None):
     n_pts = g.n_pos + g.n_vel
     print(f"grid: {args.n}^4 pos + {args.n}^4 vel = {n_pts:,} points",
           flush=True)
+
+    # grid-adaptive score windows (exact; weight-tensor traffic ~ width)
+    from navlab_dpe_sdr_tpu.ops.dpe import auto_windows
+    cw, vw = auto_windows(g.d_enu, g.dt_m, g.dv_enu, g.dtdot, 2.5e6,
+                          meta["carr_fftpts"])
+    print(f"score windows: code {cw}, carr {vw}", flush=True)
+    fpk[:, 7] = cw / 2.0
+    fpk[:, 9] = vw / 2.0
+    ipk[:, 1] = s // 2 - cw // 2
+    ipk[:, 2] = meta["carr_fftpts"] // 2 - vw // 2
+    pk = dr.pack_params(fpk, ipk, 0)
     t0 = time.perf_counter()
     d_enu = jnp.asarray(g.d_enu.astype(np.float32))
     dt_m = jnp.asarray(g.dt_m.astype(np.float32))
@@ -76,11 +87,11 @@ def main(argv=None):
 
     def call(raw):
         return dr.dpe_batch_blocks(
-            raw, 0, jnp.asarray(fpk), jnp.asarray(ipk),
+            raw, jnp.asarray(pk),
             chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
             carr_fftpts=meta["carr_fftpts"], period=meta["period"],
             n_periods=meta["n_periods"], n_blocks=n_blocks,
-            return_windows=False)
+            return_windows=False, code_win=cw, carr_win=vw)
 
     t0 = time.perf_counter()
     out = call(jnp.asarray(raw_all))
