@@ -340,13 +340,14 @@ def dpe_device_step_real(raw_re, raw_im, chips, base0, rc_mid, idx_next,
 #
 # A remote/accelerator-attached host pays a fixed latency per host->device
 # transfer, so the per-block loop packs all per-channel parameters for N
-# blocks into two arrays, keeps the raw sample blocks device-resident, and
-# scans the fused step over the batch in ONE dispatch. Feedback (EKF
+# blocks into ONE array, keeps the raw sample blocks device-resident, and
+# runs the fused step over the batch in ONE dispatch. Feedback (EKF
 # measurement -> channel steering) is applied at batch boundaries; within a
 # batch, predictions are propagated from the batch-start fix. The score
-# windows (+/-32 samples/bins) dwarf the sub-sample prediction drift a
-# static-to-dynamic receiver accumulates over a fraction of a second, so
-# accuracy is preserved (validated in tests against the per-block loop).
+# windows (several samples/bins wide beyond the grid span) dwarf the
+# sub-sample prediction drift a static-to-dynamic receiver accumulates over
+# a fraction of a second, so accuracy is preserved (validated in tests
+# against the per-block loop).
 # ---------------------------------------------------------------------------
 
 FPK_ROWS = 11  # rc_mid, fi, ri, los_e, los_n, los_u, r0, pos_c, pos_k, vel_c, vel_k
@@ -373,53 +374,6 @@ def _unpack_params(pk):
     ipk = pk[:, FPK_ROWS:FPK_ROWS + IPK_ROWS].astype(jnp.int32)
     start = pk[0, FPK_ROWS + IPK_ROWS, 0].astype(jnp.int32)
     return fpk, ipk, start
-
-
-@functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
-                                             "n_periods", "n_blocks",
-                                             "l_power", "interp",
-                                             "code_win", "carr_win"))
-def dpe_scan_blocks(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
-                    d_enu, dt_m, dv_enu, dtdot,
-                    carr_fftpts: int, period: int, n_periods: int,
-                    n_blocks: int, l_power: int = 1,
-                    interp: str = "quadratic",
-                    code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
-    """Run n_blocks fused DPE steps in one dispatch.
-
-    raw_all_i16: [B, S, 2] int16 (device-resident capture); start: first
-    block index; fpk: [N, FPK_ROWS, C] float32; ipk: [N, IPK_ROWS, C] int32.
-    Returns (pos_arg [N], pos_peak [N], vel_arg [N], vel_peak [N],
-    flip [N, C]).
-    """
-
-    def one(i):
-        raw = jax.lax.dynamic_index_in_dim(raw_all_i16, start + i, 0,
-                                           keepdims=False)     # [S, 2]
-        raw_re = raw[:, 0].astype(jnp.float32)
-        raw_im = raw[:, 1].astype(jnp.float32)
-        f = fpk[i]
-        p = ipk[i]
-        params = ManifoldParams(
-            los_enu=f[3:6].T, r0=f[6], pos_center=f[7], pos_coef=f[8],
-            vel_center=f[9], vel_coef=f[10])
-        out = windowed_correlate(raw_re, raw_im, chips, base0, f[0], p[0],
-                                 f[1], f[2], time_idc, p[1], p[2],
-                                 carr_fftpts, period, n_periods,
-                                 code_win=code_win, carr_win=carr_win)
-        ps, pa, vs_, va = score_manifolds_mag(
-            out.code_mag, out.carr_mag, params, d_enu, dt_m, dv_enu, dtdot,
-            l_power=l_power, interp=interp)
-        # pack into one float32 row so the host needs a single fetch
-        row = jnp.concatenate([
-            jnp.stack([pa.astype(jnp.float32), ps[pa],
-                       va.astype(jnp.float32), vs_[va]]),
-            out.flip_used.astype(jnp.float32),
-            out.code_mag.reshape(-1), out.carr_mag.reshape(-1)])
-        return row
-
-    # [N, 4 + C + C*CODE_WIN + C*CARR_WIN]
-    return jax.lax.map(one, jnp.arange(n_blocks))
 
 
 _BATCH_CHUNK = 8192  # grid points per chunk in the block-batched scorer
@@ -688,11 +642,12 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
     pk: [N, PK_ROWS, C] float32 packed per-block parameters + start index
-    (pack_params) — one upload per batch. Outputs as dpe_scan_blocks, but
-    every op processes all n_blocks at once — on accelerators with
-    per-kernel dispatch overhead the lax.map body's ~10^2 kernels per
-    block dominate the runtime; the batched form launches each kernel
-    once for the whole batch.
+    (pack_params) — one upload per batch. Every op processes all n_blocks
+    at once: a per-block device loop (lax.map) dispatches ~10^2 kernels
+    per block, which dominates runtime on accelerators with per-kernel
+    dispatch overhead; the batched form launches each kernel once for the
+    whole batch. Returns one packed float32 row per block (argmaxes,
+    peaks, flips[, score windows]) so the host needs a single fetch.
 
     return_windows=False drops the per-channel score windows from the
     packed row ([N, 4+C] instead of [N, 4+C+C*(CODE_WIN+CARR_WIN)]) —
