@@ -36,12 +36,28 @@ def main():
 
     sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=47.0)
     n = 50000 * (n_blocks + warmup)
-    print(f"# synthesizing {n / 2.5e6:.1f}s of 8-PRN capture...",
-          file=sys.stderr)
-    iq = sim.generate(n)
-    samples = np.empty(n, DTYPE_IQ16)
-    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
-    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+
+    # the 45 s synthetic capture is deterministic (fixed scenario + seed)
+    # and takes ~25 min of host CPU to generate — cache it on disk
+    import os
+    cache_dir = "/tmp/navlab_tpu_fixtures"
+    cache = f"{cache_dir}/bench_capture_v1_{n}.dat"
+    if os.path.exists(cache) and os.path.getsize(cache) == 4 * n:
+        print(f"# cached capture: {cache}", file=sys.stderr)
+        samples = np.fromfile(cache, DTYPE_IQ16)
+    else:
+        print(f"# synthesizing {n / 2.5e6:.1f}s of 8-PRN capture...",
+              file=sys.stderr)
+        iq = sim.generate(n)
+        samples = np.empty(n, DTYPE_IQ16)
+        samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+        samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            samples.tofile(cache + ".tmp")
+            os.replace(cache + ".tmp", cache)
+        except OSError:
+            pass
 
     from navlab_dpe_sdr_tpu.models.dpe import DPEConfig
     rf = SampleFile(samples=samples, fs=2.5e6)

@@ -209,7 +209,8 @@ def cmd_dpe(args):
     xlog = None
     if args.integrate:
         rx.run_integrated(n_blocks // args.integrate,
-                          blocks_per_fix=args.integrate)
+                          blocks_per_fix=args.integrate,
+                          coherent=args.coherent)
         if writer:
             for f in rx.fixes:
                 writer.write(f)
@@ -479,6 +480,12 @@ def main(argv=None):
     pd.add_argument("--integrate", type=int, metavar="K",
                     help="integrated mode: one fix per K blocks with "
                          "on-device score accumulation (lower noise)")
+    pd.add_argument("--coherent", action="store_true",
+                    help="with --integrate: sum complex correlations "
+                         "(data-aided nav-bit alignment) — equal accuracy, "
+                         "one manifold scoring per fix instead of per "
+                         "block (K x cheaper; enables dense-grid "
+                         "integration in real time)")
     pd.add_argument("--lookahead", type=int, default=25)
     pd.add_argument("--watchdog", type=float, default=1.5)
     pd.add_argument("--verbose", action="store_true")

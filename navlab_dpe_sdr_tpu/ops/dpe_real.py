@@ -141,14 +141,23 @@ class RealBlockOut(NamedTuple):
     flip_used: jax.Array   # [C]
 
 
+class RealBlockOutC(NamedTuple):
+    """Complex (split re/im) window variant — for coherent integration."""
+    code_re: jax.Array     # [C, code_win]
+    code_im: jax.Array
+    carr_re: jax.Array     # [C, carr_win]
+    carr_im: jax.Array
+    flip_used: jax.Array   # [C]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("carr_fftpts", "period", "n_periods",
-                                    "code_win", "carr_win"))
+                                    "code_win", "carr_win", "complex_out"))
 def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                        fi, ri, time_idc, pos_start, vel_start,
                        carr_fftpts: int, period: int, n_periods: int,
-                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN
-                       ) -> RealBlockOut:
+                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
+                       complex_out: bool = False):
     """Windowed code correlation + windowed carrier DFT (all-real).
 
     raw_re/raw_im: [S]; chips: [C, 1023]; base0: [period] nominal chip
@@ -156,6 +165,8 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     sample (S for none); fi/ri: [C]; pos_start/vel_start: [C] window origins
     (fftshifted index space). code_win/carr_win: window widths — sized to
     the grid via ops.dpe.auto_windows (weight-tensor traffic ~ width).
+    complex_out keeps the window re/im parts (RealBlockOutC) so blocks can
+    be summed coherently before the magnitude.
     """
     s = raw_re.shape[0]
     c = chips.shape[0]
@@ -252,7 +263,8 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
 
     w_re = jnp.where(use_flip[:, None], fl_re, nf_re)
     w_im = jnp.where(use_flip[:, None], fl_im, nf_im)
-    code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
+    if not complex_out:
+        code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
 
     # ---- carrier windowed DFT --------------------------------------------
     repl_chosen = jnp.where(use_flip[:, None], repl * flip_sign, repl)
@@ -283,6 +295,9 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     # stage 2: X[c, w] = sum_s0 Z[c, w, s0] * e^{-i ang_b(w, s0)}
     x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
     x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
+    if complex_out:
+        return RealBlockOutC(code_re=w_re, code_im=w_im,
+                             carr_re=x_re, carr_im=x_im, flip_used=use_flip)
     carr_mag = jnp.sqrt(x_re * x_re + x_im * x_im)
 
     return RealBlockOut(code_mag=code_mag, carr_mag=carr_mag,
@@ -677,7 +692,7 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
 def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, code_win: int = CODE_WIN,
-                     carr_win: int = CARR_WIN) -> RealBlockOut:
+                     carr_win: int = CARR_WIN, complex_out: bool = False):
     """Slice n_blocks from the device capture and correlate them (vmapped)."""
     raw = jax.lax.dynamic_slice(
         raw_all_i16, (start, 0, 0),
@@ -686,11 +701,54 @@ def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
     raw_im = raw[..., 1].astype(jnp.float32)
     return jax.vmap(
         functools.partial(windowed_correlate, code_win=code_win,
-                          carr_win=carr_win),
+                          carr_win=carr_win, complex_out=complex_out),
         in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
     )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
       fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
       carr_fftpts, period, n_periods)
+
+
+def _coherent_sum(outc: RealBlockOutC) -> RealBlockOut:
+    """Sum complex windows over the block axis with data-aided nav-bit
+    alignment, then take magnitudes ([1, C, W] outputs).
+
+    The 50 bps data bits flip whole 20 ms blocks in sign; no decoded bit
+    stream is needed: each block is aligned against the RUNNING coherent
+    sum (decision-directed — the reference grows ~sqrt(k) in SNR, so the
+    alignment is far more robust at low C/N0 than consecutive-pair
+    differential signs, where one early error flips the whole tail).
+    The decision metric uses only the central taps of each window (the
+    prediction puts the true peak at the window center, so the center tap
+    is the matched statistic; summing the full window would add W noise
+    bins against ~2 signal bins and ruin the decision at low C/N0), from
+    both the code and carrier windows. Residual carrier rotation between
+    blocks is the steered-prediction error (~mHz x 20 ms, negligible over
+    practical spans)."""
+    mc = outc.code_re.shape[2] // 2
+    mv = outc.carr_re.shape[2] // 2
+    sl_c = slice(mc - 1, mc + 2)
+    sl_v = slice(mv - 1, mv + 2)
+
+    def step(carry, xs):
+        a_cre, a_cim, a_vre, a_vim = carry
+        cre, cim, vre, vim = xs                              # [C, W]
+        dot = (jnp.sum(cre[:, sl_c] * a_cre[:, sl_c]
+                       + cim[:, sl_c] * a_cim[:, sl_c], axis=1)
+               + jnp.sum(vre[:, sl_v] * a_vre[:, sl_v]
+                         + vim[:, sl_v] * a_vim[:, sl_v], axis=1))  # [C]
+        s = jnp.where(dot >= 0.0, 1.0, -1.0)[:, None]        # first: +1
+        return (a_cre + s * cre, a_cim + s * cim,
+                a_vre + s * vre, a_vim + s * vim), None
+
+    zc = jnp.zeros_like(outc.code_re[0])
+    zv = jnp.zeros_like(outc.carr_re[0])
+    (code_re, code_im, carr_re, carr_im), _ = jax.lax.scan(
+        step, (zc, zc, zv, zv),
+        (outc.code_re, outc.code_im, outc.carr_re, outc.carr_im))
+    return RealBlockOut(
+        code_mag=jnp.sqrt(code_re ** 2 + code_im ** 2)[None],
+        carr_mag=jnp.sqrt(carr_re ** 2 + carr_im ** 2)[None],
+        flip_used=outc.flip_used)
 
 
 def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
@@ -707,35 +765,59 @@ def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
                                              "n_periods", "n_blocks",
                                              "l_power", "interp", "mesh",
-                                             "code_win", "carr_win"))
+                                             "code_win", "carr_win",
+                                             "coherent"))
 def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                        d_enu, dt_m, dv_enu, dtdot,
                        carr_fftpts: int, period: int, n_periods: int,
                        n_blocks: int, l_power: int = 1,
                        interp: str = "quadratic", mesh=None,
-                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
-    """Multi-block noncoherent score integration in one dispatch.
+                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
+                       coherent: bool = False):
+    """Multi-block score integration in one dispatch.
 
-    Accumulates the position/velocity score surfaces over n_blocks
-    consecutive blocks (predictions frozen at the batch start, so a given
-    grid candidate is the same absolute state in every block) and returns
-    one argmax per batch: sqrt(N) score-noise reduction at 1/N fix rate.
-    A capability beyond the reference, enabled by the windowed engine —
-    accumulating 2x25^4 scores per block is free on device, ruinous to
-    fetch. Streaming over grid chunks: dense grids integrate too.
+    Noncoherent (default): accumulates the position/velocity score
+    surfaces over n_blocks consecutive blocks (predictions frozen at the
+    batch start, so a given grid candidate is the same absolute state in
+    every block) and returns one argmax per batch: sqrt(N) score-noise
+    reduction at 1/N fix rate. A capability beyond the reference, enabled
+    by the windowed engine — accumulating 2x25^4 scores per block is free
+    on device, ruinous to fetch. Streaming over grid chunks: dense grids
+    integrate too.
+
+    Coherent: sums the COMPLEX correlation windows over the batch (with
+    data-aided nav-bit alignment, _coherent_sum) before the magnitude.
+    Accuracy matches the noncoherent path at practical C/N0 (at 20 ms
+    blocks the per-block amplitude SNR stays >~2 down to ~22 dB-Hz, so
+    noncoherent squaring loss is ~1 dB — measured: oracle-bit coherent
+    does NOT beat noncoherent above that); what coherent buys is COST:
+    the manifold is scored once per batch instead of once per block —
+    N x less scoring traffic, the difference between offline and
+    real-time dense-grid (75^4-scale) integration. Geometry is the last
+    block's (measurements are referenced to its prediction, as in the
+    noncoherent path).
     """
     fpk, ipk, start = _unpack_params(pk)
-    out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
-                           time_idc, carr_fftpts, period, n_periods,
-                           n_blocks, code_win, carr_win)
-    los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))
-    out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
+    if coherent:
+        outc = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                                time_idc, carr_fftpts, period, n_periods,
+                                n_blocks, code_win, carr_win,
+                                complex_out=True)
+        out = _coherent_sum(outc)
+        fpk_s = fpk[-1:]
+    else:
+        out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                               time_idc, carr_fftpts, period, n_periods,
+                               n_blocks, code_win, carr_win)
+        fpk_s = fpk
+    los_enu = jnp.transpose(fpk_s[:, 3:6], (0, 2, 1))
+    flips = out.flip_used
+    out, los_enu, fpk_s = _constrain_chan(mesh, out, los_enu, fpk_s)
     pb, pa = _score_axis_accumulate(
-        out.code_mag, los_enu, fpk[:, 7], fpk[:, 8], fpk[:, 6],
+        out.code_mag, los_enu, fpk_s[:, 7], fpk_s[:, 8], fpk_s[:, 6],
         d_enu, dt_m, interp, l_power, mesh=mesh)
     vb, va = _score_axis_accumulate(
-        out.carr_mag, los_enu, fpk[:, 9], fpk[:, 10], None,
+        out.carr_mag, los_enu, fpk_s[:, 9], fpk_s[:, 10], None,
         dv_enu, dtdot, interp, l_power, mesh=mesh)
     return (jnp.stack([pa.astype(jnp.float32), pb,
-                       va.astype(jnp.float32), vb]),
-            out.flip_used)
+                       va.astype(jnp.float32), vb]), flips)

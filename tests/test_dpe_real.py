@@ -281,3 +281,52 @@ def test_bf16_tap_scoring_matches_f32():
     np.testing.assert_array_equal(out[jnp.float32][1], out[jnp.bfloat16][1])
     np.testing.assert_allclose(out[jnp.float32][0], out[jnp.bfloat16][0],
                                rtol=5e-3)
+
+
+def test_coherent_integration():
+    """Coherent K-block integration: complex-window sum with data-aided
+    nav-bit alignment. At practical C/N0 it matches the noncoherent
+    surface-sum accuracy (no squaring-loss headroom at 20 ms blocks —
+    measured, incl. with oracle bit signs) while scoring the manifold
+    ONCE per fix instead of once per block. Assert: (a) exact fixes at
+    high C/N0 (bit alignment survives real 50 bps transitions), (b)
+    comparable accuracy to noncoherent at 30 dB-Hz."""
+    import copy
+
+    # (a) high C/N0: alignment across real bit flips; fixes pin to truth
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=45.0)
+    n = 50000 * 16
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                     copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    rx.run_integrated(2, blocks_per_fix=8, coherent=True)
+    for f in rx.fixes:
+        assert np.linalg.norm(f.x_ecef[:3] - truth[:3]) < 1.0
+
+    # (b) 30 dB-Hz: within 1.5x of the noncoherent error (typically equal)
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0)
+    n = 50000 * 32
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    meds = {}
+    for label, coh in (("noncoh", False), ("coh", True)):
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                         copy.deepcopy(hand), grid=spread_grid(),
+                         eph=copy.deepcopy(arr))
+        rx.run_integrated(4, blocks_per_fix=8, coherent=coh)
+        meds[label] = np.median([np.linalg.norm(f.x_ecef[:3] - truth[:3])
+                                 for f in rx.fixes])
+    # per-block argmax is broken at this C/N0 (>30 m, see
+    # test_integrated_mode_holds_weak_signal); both integration modes
+    # restore the fix, with comparable medians (4-sample medians are
+    # noisy; the coherent mode's win is cost, not accuracy)
+    assert meds["coh"] < 30.0, meds
+    assert meds["coh"] < 1.6 * meds["noncoh"] + 5.0, meds
