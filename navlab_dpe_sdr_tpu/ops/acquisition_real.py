@@ -107,7 +107,7 @@ def fine_freq_real(raw_re, raw_im, repl, time_idc, f_lo_bin,
     for k in range(n_chunks):
         start = f_lo_bin + k * CARR_WIN
         a_cos, a_sin, b_cos, b_sin = _dft_twiddles(
-            jnp.asarray([start]), carr_fftpts, s1_n, s0_n)
+            jnp.asarray([start]), carr_fftpts, s1_n, s0_n, CARR_WIN)
         z_re = (jnp.einsum("cws,cst->cwt", a_cos, y_re_p)
                 + jnp.einsum("cws,cst->cwt", a_sin, y_im_p))
         z_im = (jnp.einsum("cws,cst->cwt", a_cos, y_im_p)
