@@ -38,7 +38,7 @@ def main():
     n = 50000 * (n_blocks + warmup)
 
     # the 45 s synthetic capture is deterministic (fixed scenario + seed)
-    # and takes ~25 min of host CPU to generate — cache it on disk
+    # and takes a couple of minutes of host CPU to generate — cache it on disk
     import os
     cache_dir = "/tmp/navlab_tpu_fixtures"
     cache = f"{cache_dir}/bench_capture_v1_{n}.dat"

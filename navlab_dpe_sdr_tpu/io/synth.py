@@ -58,6 +58,34 @@ def synth_simple(prn: int, fs: float, n_samples: int, rc: float = 0.0,
     return amp * sig + noise
 
 
+# Shared per-sample workspace. On this host, first-touch page faults on
+# fresh large allocations run ~30 MB/s — orders of magnitude below warm
+# memory — so every [n_samples] temporary is reused across calls and across
+# simulator instances. Keyed by (name, dtype) for the one active size.
+_WS: dict = {"n": 0}
+
+
+def _ws(n: int, key: str, dtype) -> np.ndarray:
+    if _WS["n"] != n:
+        _WS.clear()
+        _WS["n"] = n
+    k = (key, np.dtype(dtype).str)
+    a = _WS.get(k)
+    if a is None:
+        a = np.empty(n, dtype)
+        _WS[k] = a
+    return a
+
+
+def _iota(n: int) -> np.ndarray:
+    a = _WS.get("iota")
+    if a is None or _WS["n"] != n:
+        a = _ws(n, "_iota_buf", np.float64)
+        a[:] = np.arange(n)
+        _WS["iota"] = a
+    return a
+
+
 @dataclass
 class ChannelTruth:
     prn: int
@@ -122,6 +150,25 @@ class CaptureSimulator:
                                            n_subframes + 2)
                 for i in range(self.k)
             ]
+            self._bits_f32_cache = {}
+
+    def _code_f32(self, prn: int) -> np.ndarray:
+        cache = getattr(self, "_code_f32_cache", None)
+        if cache is None:
+            cache = self._code_f32_cache = {}
+        a = cache.get(prn)
+        if a is None:
+            a = cache[prn] = ca_code(prn).astype(np.float32)
+        return a
+
+    def _bits_f32(self, i: int) -> np.ndarray:
+        cache = getattr(self, "_bits_f32_cache", None)
+        if cache is None:
+            cache = self._bits_f32_cache = {}
+        a = cache.get(i)
+        if a is None:
+            a = cache[i] = self._bit_streams[i].astype(np.float32)
+        return a
 
     def _solve_t_sv(self, t_rx_nodes: np.ndarray) -> np.ndarray:
         """Satellite-clock transmit times for true GPS receive times.
@@ -158,8 +205,18 @@ class CaptureSimulator:
 
     def generate(self, n_samples: int, start_sample: int = 0,
                  return_truth: bool = False):
-        """Generate complex128 baseband samples [start, start+n)."""
+        """Generate complex64 baseband samples [start, start+n).
+
+        Timing is solved in float64 on 1 ms nodes and interpolated as the
+        small *delay* d = t_sv - t_rx (full f64 resolution; absolute TOW-scale
+        times carry ~1e-10 s of representation quantization). Only the
+        carrier rotation and signal accumulation run in float32 — 6e-8 cycle
+        phase granularity, far below the noise floor and ~100x faster than
+        complex128 exp on this host. All per-sample buffers come from a
+        shared workspace: fresh page allocation dominates cost otherwise.
+        """
         fs = self.fs
+        n = n_samples
         node_dt = 1e-3
         n0 = int(np.floor(start_sample / fs / node_dt))
         n1 = int(np.ceil((start_sample + n_samples) / fs / node_dt)) + 1
@@ -174,32 +231,68 @@ class CaptureSimulator:
         if self.nav_data:
             self._ensure_bits(n_sf)
 
-        t_file = start_sample / fs + np.arange(n_samples) / fs
-        t_rx = self.tow0 + t_file * (1.0 + self.drift)
+        t_file = _ws(n, "t_file", np.float64)
+        t_file[:] = _iota(n)
+        t_file *= 1.0 / fs
+        t_file += start_sample / fs
 
-        sig = np.zeros(n_samples, dtype=np.complex128)
+        f64a = _ws(n, "f64a", np.float64)
+        f64b = _ws(n, "f64b", np.float64)
+        idx = _ws(n, "idx", np.int64)
+        ph32 = _ws(n, "ph32", np.float32)
+        cosb = _ws(n, "cos", np.float32)
+        sinb = _ws(n, "sin", np.float32)
+        chip32 = _ws(n, "chip", np.float32)
+        tmp32 = _ws(n, "tmp", np.float32)
+        sig_re = _ws(n, "sig_re", np.float32)
+        sig_im = _ws(n, "sig_im", np.float32)
+        sig_re.fill(0.0)
+        sig_im.fill(0.0)
+
         truth_channels = []
         for i in range(self.k):
-            t_sv = np.interp(t_file, node_t_file, t_sv_nodes[i])
-            ts_rel = t_sv - self.tow_frame0           # small: exact chips
-            chip_total = ts_rel * F_CA
-            chips = ca_code(self.eph.prn[i])[
-                np.mod(np.floor(chip_total), L_CA).astype(np.int64)]
+            delay = np.interp(t_file, node_t_file, delay_nodes[i])
+            # ts_rel = t_sv - tow_frame0, built from small terms (exact):
+            # (tow0 - tow_frame0) + t_file*(1+drift) + delay
+            np.multiply(t_file, 1.0 + self.drift, out=f64a)
+            f64a += delay
+            f64a += self.tow0 - self.tow_frame0
+            ts_rel0 = float(f64a[0])
+            np.multiply(f64a, F_CA, out=f64b)
+            np.floor(f64b, out=f64b)
+            np.copyto(idx, f64b, casting="unsafe")
+            idx %= int(L_CA)
+            np.take(self._code_f32(self.eph.prn[i]), idx, out=chip32)
+            if self.nav_data:
+                # bit index = floor(ts_rel / 20 ms)
+                np.multiply(f64a, 50.0, out=f64b)
+                np.floor(f64b, out=f64b)
+                np.copyto(idx, f64b, casting="unsafe")
+                bits = self._bits_f32(i)
+                np.clip(idx, 0, len(bits) - 1, out=idx)
+                np.take(bits, idx, out=tmp32)
+                chip32 *= tmp32
             # Downconversion LO derives from the same (drifting) oscillator
             # as the ADC clock, so its phase advances with receiver-clock
             # time t_lo = tow0 + t_file, not true time t_rx.  The difference
             # puts +F_L1*drift Hz on the baseband carrier — the code/carrier
             # coherence a single-oscillator receiver (and the 8-state clock
             # model, x[7] = c*d(bias)/dt) relies on.
-            phase = F_L1 * (t_sv - (self.tow0 + t_file))
-            carrier = np.exp(2j * np.pi * np.mod(phase, 1.0))
-            s = chips * carrier
-            if self.nav_data:
-                bit_idx = np.floor(ts_rel / 0.02).astype(np.int64)
-                s = s * self._bit_streams[i][np.clip(bit_idx, 0,
-                                                     len(self._bit_streams[i]) - 1)]
+            # phase cycles = F_L1*(t_sv - t_lo) = F_L1*(delay + drift*t_file)
+            np.multiply(t_file, self.drift, out=f64a)
+            f64a += delay
+            f64a *= F_L1
+            np.mod(f64a, 1.0, out=f64a)
+            np.copyto(ph32, f64a, casting="unsafe")
+            ph32 *= np.float32(2.0 * np.pi)
+            np.cos(ph32, out=cosb)
+            np.sin(ph32, out=sinb)
             amp = self.sigma * np.sqrt(10.0 ** (self.cn0[i] / 10.0) / fs)
-            sig += amp * s
+            chip32 *= np.float32(amp)
+            np.multiply(chip32, cosb, out=tmp32)
+            sig_re += tmp32
+            np.multiply(chip32, sinb, out=tmp32)
+            sig_im += tmp32
 
             if return_truth:
                 # observed Doppler in file time: F_L1 * d(delay)/dt * (1+drift)
@@ -210,24 +303,46 @@ class CaptureSimulator:
                     prn=int(self.eph.prn[i]),
                     t_sv_nodes=t_sv_nodes[i],
                     doppler0=float(dop),
-                    code_phase0=float(np.mod(ts_rel[0] * F_CA, L_CA)),
-                    cp0=float(np.floor(ts_rel[0] * F_CA / L_CA)),
+                    code_phase0=float(np.mod(ts_rel0 * F_CA, L_CA)),
+                    cp0=float(np.floor(ts_rel0 * F_CA / L_CA)),
                     amplitude=float(amp)))
+
+        sig = np.empty(n, dtype=np.complex64)
+        v = sig.view(np.float32).reshape(n, 2)
+        v[:, 0] = sig_re
+        v[:, 1] = sig_im
 
         if self.bandwidth is not None and self.bandwidth < fs:
             # brickwall-with-rolloff front-end filter (circular per chunk;
             # edge effects span a handful of samples)
-            spec = np.fft.fft(sig)
-            f = np.abs(np.fft.fftfreq(n_samples, d=1.0 / fs))
-            half = self.bandwidth / 2.0
-            roll = 0.1 * half
-            h = np.clip((half + roll - f) / roll, 0.0, 1.0)
-            sig = np.fft.ifft(spec * h)
+            hkey = ("bwmask", float(self.bandwidth), float(fs))
+            h = _WS.get(hkey) if _WS["n"] == n else None
+            if h is None:
+                f = np.abs(np.fft.fftfreq(n, d=1.0 / fs))
+                half = self.bandwidth / 2.0
+                roll = 0.1 * half
+                h = np.clip((half + roll - f) / roll, 0.0, 1.0)
+                h = h.astype(np.float32)
+                _WS[hkey] = h
+            try:                      # scipy: complex64-preserving, threaded
+                from scipy import fft as _sfft
+                spec = _sfft.fft(sig, workers=4)
+                spec *= h
+                sig = _sfft.ifft(spec, workers=4, overwrite_x=True)
+            except ImportError:
+                spec = np.fft.fft(sig)
+                spec *= h
+                sig = np.fft.ifft(spec).astype(np.complex64, copy=False)
 
         rng = np.random.default_rng(self.seed + start_sample)
-        noise = (rng.standard_normal(n_samples)
-                 + 1j * rng.standard_normal(n_samples)) * (self.sigma / np.sqrt(2.0))
-        sig += noise
+        v = sig.view(np.float32).reshape(n, 2)
+        scale = np.float32(self.sigma / np.sqrt(2.0))
+        noise = rng.standard_normal(n, dtype=np.float32)
+        noise *= scale
+        v[:, 0] += noise
+        noise = rng.standard_normal(n, dtype=np.float32)
+        noise *= scale
+        v[:, 1] += noise
 
         if return_truth:
             truth = CaptureTruth(fs=fs, tow0=self.tow0, rx_ecef=self.rx,

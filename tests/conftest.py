@@ -48,3 +48,35 @@ def handoff_path():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+CAPTURE_VERSION = "v2"
+CAPTURE_SECONDS = 40.0
+
+
+@pytest.fixture(scope="session")
+def capture_40s(handoff_path):
+    """(path, meta, handoff) of a cached 40 s simulated capture at the
+    handoff state. Session-scoped and disk-cached: generated once, shared
+    by the scalar e2e and DPE golden tests regardless of test order."""
+    import json
+
+    from navlab_dpe_sdr_tpu.io.handoff import read_handoff
+    from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
+
+    fs = 2.5e6
+    cache = pathlib.Path("/tmp/navlab_tpu_fixtures")
+    cache.mkdir(exist_ok=True)
+    dat = cache / f"capture40_{CAPTURE_VERSION}.dat"
+    meta_p = cache / f"capture40_{CAPTURE_VERSION}.json"
+    hand = read_handoff(handoff_path)
+    if not (dat.exists() and meta_p.exists()):
+        arr = hand.eph_array()
+        tow0 = hand.rx_time_a - 6.0
+        sim = CaptureSimulator(arr, hand.x_ecef, tow0=tow0, fs=fs,
+                               cn0_dbhz=47.0, nav_data=True, seed=99)
+        sim.write_capture(str(dat), CAPTURE_SECONDS)
+        meta = {"tow0": tow0, "rx_ecef": list(map(float, hand.x_ecef)),
+                "prns": hand.prn_list, "fs": fs}
+        meta_p.write_text(json.dumps(meta))
+    return str(dat), json.loads(meta_p.read_text()), hand

@@ -93,16 +93,9 @@ def test_batch_correlate_flip_selection():
 
 
 @pytest.fixture(scope="module")
-def dpe_setup(handoff_path):
-    import tests.test_scalar_e2e as se
-    import json, pathlib
-    cache = pathlib.Path("/tmp/navlab_tpu_fixtures")
-    dat = cache / f"capture40_{se.CAPTURE_VERSION}.dat"
-    meta_p = cache / f"capture40_{se.CAPTURE_VERSION}.json"
-    if not (dat.exists() and meta_p.exists()):
-        pytest.skip("40 s capture fixture not generated yet")
-    hand = read_handoff(handoff_path)
-    return str(dat), hand
+def dpe_setup(capture_40s):
+    dat, _meta, hand = capture_40s
+    return dat, hand
 
 
 @pytest.mark.slow

@@ -18,29 +18,12 @@ from navlab_dpe_sdr_tpu.io.rawfile import SampleFile
 from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
 from navlab_dpe_sdr_tpu.models.scalar import ScalarReceiver
 
-CAPTURE_VERSION = "v2"
-CAPTURE_SECONDS = 40.0
+# the shared 40 s capture fixture lives in conftest.py (session-scoped,
+# disk-cached) so test order doesn't matter; keep the version re-export for
+# modules that key their own caches off it
+from tests.conftest import CAPTURE_VERSION  # noqa: F401
+
 FS = 2.5e6
-
-
-@pytest.fixture(scope="session")
-def capture_40s(handoff_path):
-    """(path, meta) of a cached 40 s simulated capture at the handoff state."""
-    cache = pathlib.Path("/tmp/navlab_tpu_fixtures")
-    cache.mkdir(exist_ok=True)
-    dat = cache / f"capture40_{CAPTURE_VERSION}.dat"
-    meta_p = cache / f"capture40_{CAPTURE_VERSION}.json"
-    hand = read_handoff(handoff_path)
-    if not (dat.exists() and meta_p.exists()):
-        arr = hand.eph_array()
-        tow0 = hand.rx_time_a - 6.0
-        sim = CaptureSimulator(arr, hand.x_ecef, tow0=tow0, fs=FS,
-                               cn0_dbhz=47.0, nav_data=True, seed=99)
-        sim.write_capture(str(dat), CAPTURE_SECONDS)
-        meta = {"tow0": tow0, "rx_ecef": list(map(float, hand.x_ecef)),
-                "prns": hand.prn_list, "fs": FS}
-        meta_p.write_text(json.dumps(meta))
-    return str(dat), json.loads(meta_p.read_text()), hand
 
 
 @pytest.mark.slow
