@@ -92,6 +92,46 @@ class DPEConfig:
                                        # are the single biggest scoring lever.
 
 
+class _RawPrefetcher:
+    """Double-buffered sample staging for file-based batched runs.
+
+    A daemon thread owns the rawfile cursor: it reads each planned batch
+    and uploads it with jax.device_put, keeping up to `depth` staged
+    batches ahead of the consumer. This hides both disk read and the
+    host->device copy behind device compute — the TPU-native equivalent
+    of the reference's prio-28 reader thread filling pinned ring buffers
+    (sampleblock.cu:307-463), with XLA's async dispatch replacing the
+    cudaMemcpyAsync/event machinery.
+    """
+
+    def __init__(self, rawfile, S: int, sizes, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def work():
+            try:
+                for n in sizes:
+                    blocks = np.stack(
+                        [rawfile.read_block_raw() for _ in range(n)])
+                    self._q.put(jax.device_put(blocks))
+            except Exception as e:        # surfaced on the consumer side
+                self._err = e
+                self._q.put(None)
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name="raw-prefetch")
+        self._thread.start()
+
+    def get(self):
+        item = self._q.get()
+        if item is None:
+            raise self._err
+        return item
+
+
 class DPEReceiver:
     """DPE receiver initialized from a handoff checkpoint."""
 
@@ -822,19 +862,23 @@ class DPEReceiver:
         self.fixes.append(fix)
         return fix
 
-    def _dispatch_batch(self, n, raw_blocks_dev, start_block, done):
+    def _dispatch_batch(self, n, raw_blocks_dev, start_block, done,
+                        raw_staged=None):
         rf = self.rawfile
         preps = self._prepare_batch(n)
         fpk = np.stack([p[0] for p in preps])                   # [N, 11, C]
         ipk = np.stack([p[1] for p in preps])                   # [N, 3, C]
 
-        if raw_blocks_dev is None:
+        if raw_blocks_dev is not None:
+            raw_dev = raw_blocks_dev
+            start = start_block + done
+        elif raw_staged is not None:
+            raw_dev = raw_staged                                # [N, S, 2]
+            start = 0
+        else:
             blocks = np.stack([rf.read_block_raw() for _ in range(n)])
             raw_dev = jnp.asarray(blocks)                       # [N, S, 2]
             start = 0
-        else:
-            raw_dev = raw_blocks_dev
-            start = start_block + done
 
         # ONE parameter upload per batch (every host->device buffer is a
         # fixed-latency RPC on a remote-attached accelerator)
@@ -934,7 +978,9 @@ class DPEReceiver:
         but ONE manifold scoring pass per fix instead of per block — the
         N x cheaper path for dense-grid integration."""
         assert self.cfg.engine == "real"
-        rf = self.rawfile
+        prefetch = (_RawPrefetcher(self.rawfile, self.S,
+                                   [blocks_per_fix] * n_batches)
+                    if raw_blocks_dev is None else None)
         done = 0
         for _ in range(n_batches):
             n = blocks_per_fix
@@ -942,8 +988,7 @@ class DPEReceiver:
             fpk = np.stack([p[0] for p in preps])
             ipk = np.stack([p[1] for p in preps])
             if raw_blocks_dev is None:
-                blocks = np.stack([rf.read_block_raw() for _ in range(n)])
-                raw_dev = jnp.asarray(blocks)
+                raw_dev = prefetch.get()
                 start = 0
             else:
                 raw_dev = raw_blocks_dev
@@ -990,12 +1035,23 @@ class DPEReceiver:
         SampleFile and uploaded per batch.
         """
         assert self.cfg.engine == "real", "batched mode uses the real engine"
+        sizes = []
+        left = n_blocks
+        while left > 0:
+            sizes.append(min(lookahead, left))
+            left -= sizes[-1]
+        # file-based streaming: a reader thread stages batch k+1's samples
+        # on device while batch k computes (the reference's SampleBlock
+        # producer thread + pinned-ring analogue, sampleblock.cu:307-463)
+        prefetch = (_RawPrefetcher(self.rawfile, self.S, sizes)
+                    if raw_blocks_dev is None else None)
         done = 0
         pending = None
-        while done < n_blocks:
-            n = min(lookahead, n_blocks - done)
+        for n in sizes:
+            staged = prefetch.get() if prefetch is not None else None
             out, preps = self._dispatch_batch(n, raw_blocks_dev,
-                                              start_block, done)
+                                              start_block, done,
+                                              raw_staged=staged)
             done += n
             if pipeline:
                 if pending is not None:
