@@ -30,7 +30,8 @@ def main():
     # default: the full demo-equivalent pass (45 s of signal = 2250 blocks,
     # BASELINE.md demo-dataset row); pass a block count for a quick run
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 2250
-    warmup = 25
+    lookahead = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    warmup = lookahead     # one full warm batch precedes the timed segments
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
@@ -76,10 +77,8 @@ def main():
     raw_dev = jnp.asarray(all_blocks)
     jax.block_until_ready(raw_dev)
 
-    lookahead = 50
-    rx.run_batched(lookahead, lookahead=lookahead, raw_blocks_dev=raw_dev,
+    rx.run_batched(warmup, lookahead=lookahead, raw_blocks_dev=raw_dev,
                    start_block=0)
-    warmup = lookahead
 
     # segment 1: the 200-block short benchmark (round-1 comparison point)
     n_short = min(200, n_blocks)
