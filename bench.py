@@ -42,7 +42,8 @@ def main():
     # and takes a couple of minutes of host CPU to generate — cache it on disk
     import os
     cache_dir = "/tmp/navlab_tpu_fixtures"
-    cache = f"{cache_dir}/bench_capture_v1_{n}.dat"
+    # v2: the synth generator changed output (complex64 / f32 noise stream)
+    cache = f"{cache_dir}/bench_capture_v2_{n}.dat"
     if os.path.exists(cache) and os.path.getsize(cache) == 4 * n:
         print(f"# cached capture: {cache}", file=sys.stderr)
         samples = np.fromfile(cache, DTYPE_IQ16)

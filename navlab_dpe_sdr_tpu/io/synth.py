@@ -60,12 +60,19 @@ def synth_simple(prn: int, fs: float, n_samples: int, rc: float = 0.0,
 
 # Shared per-sample workspace. On this host, first-touch page faults on
 # fresh large allocations run ~30 MB/s — orders of magnitude below warm
-# memory — so every [n_samples] temporary is reused across calls and across
-# simulator instances. Keyed by (name, dtype) for the one active size.
+# memory — so every large [n_samples] temporary is reused across calls and
+# across simulator instances. Small requests (< _WS_MIN) allocate normally,
+# so truth probes and short unit-test captures don't thrash the one cached
+# size. Guarded by a lock: generate() itself is serialized (it is host-CPU
+# bound; concurrent callers would gain nothing and corrupt the buffers).
+_WS_MIN = 1_000_000
 _WS: dict = {"n": 0}
+_WS_LOCK = __import__("threading").Lock()
 
 
 def _ws(n: int, key: str, dtype) -> np.ndarray:
+    if n < _WS_MIN:
+        return np.empty(n, dtype)
     if _WS["n"] != n:
         _WS.clear()
         _WS["n"] = n
@@ -78,6 +85,8 @@ def _ws(n: int, key: str, dtype) -> np.ndarray:
 
 
 def _iota(n: int) -> np.ndarray:
+    if n < _WS_MIN:
+        return np.arange(n, dtype=np.float64)
     a = _WS.get("iota")
     if a is None or _WS["n"] != n:
         a = _ws(n, "_iota_buf", np.float64)
@@ -205,6 +214,14 @@ class CaptureSimulator:
 
     def generate(self, n_samples: int, start_sample: int = 0,
                  return_truth: bool = False):
+        """Generate complex64 baseband samples [start, start+n) — see
+        _generate_locked; serialized on the shared workspace lock."""
+        with _WS_LOCK:
+            return self._generate_locked(n_samples, start_sample,
+                                         return_truth)
+
+    def _generate_locked(self, n_samples: int, start_sample: int = 0,
+                         return_truth: bool = False):
         """Generate complex64 baseband samples [start, start+n).
 
         Timing is solved in float64 on 1 ms nodes and interpolated as the
@@ -315,15 +332,16 @@ class CaptureSimulator:
         if self.bandwidth is not None and self.bandwidth < fs:
             # brickwall-with-rolloff front-end filter (circular per chunk;
             # edge effects span a handful of samples)
-            hkey = ("bwmask", float(self.bandwidth), float(fs))
-            h = _WS.get(hkey) if _WS["n"] == n else None
-            if h is None:
+            hkey = ("bwmask", n, float(self.bandwidth), float(fs))
+            h = _WS.get(hkey)
+            if h is None or h.shape[0] != n:
                 f = np.abs(np.fft.fftfreq(n, d=1.0 / fs))
                 half = self.bandwidth / 2.0
                 roll = 0.1 * half
                 h = np.clip((half + roll - f) / roll, 0.0, 1.0)
                 h = h.astype(np.float32)
-                _WS[hkey] = h
+                if n >= _WS_MIN and _WS["n"] == n:   # lives with the
+                    _WS[hkey] = h                    # workspace generation
             try:                      # scipy: complex64-preserving, threaded
                 from scipy import fft as _sfft
                 spec = _sfft.fft(sig, workers=4)

@@ -104,19 +104,28 @@ class _RawPrefetcher:
     cudaMemcpyAsync/event machinery.
     """
 
-    def __init__(self, rawfile, S: int, sizes, depth: int = 2):
+    def __init__(self, rawfile, sizes, depth: int = 2):
         import queue
         import threading
 
         self._q = queue.Queue(maxsize=depth)
         self._err = None
+        self._closed = False
 
         def work():
             try:
                 for n in sizes:
+                    if self._closed:
+                        return
                     blocks = np.stack(
                         [rawfile.read_block_raw() for _ in range(n)])
-                    self._q.put(jax.device_put(blocks))
+                    staged = jax.device_put(blocks)
+                    while not self._closed:     # bounded put: exit on close
+                        try:
+                            self._q.put(staged, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
             except Exception as e:        # surfaced on the consumer side
                 self._err = e
                 self._q.put(None)
@@ -130,6 +139,18 @@ class _RawPrefetcher:
         if item is None:
             raise self._err
         return item
+
+    def close(self):
+        """Stop reading ahead and release staged buffers. After an abnormal
+        exit the rawfile cursor is wherever the reader got to — resume via
+        the receiver's checkpointed state, not the raw cursor."""
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=2.0)
 
 
 class DPEReceiver:
@@ -978,9 +999,19 @@ class DPEReceiver:
         but ONE manifold scoring pass per fix instead of per block — the
         N x cheaper path for dense-grid integration."""
         assert self.cfg.engine == "real"
-        prefetch = (_RawPrefetcher(self.rawfile, self.S,
+        prefetch = (_RawPrefetcher(self.rawfile,
                                    [blocks_per_fix] * n_batches)
                     if raw_blocks_dev is None else None)
+        try:
+            return self._run_integrated(n_batches, blocks_per_fix,
+                                        raw_blocks_dev, start_block,
+                                        coherent, prefetch)
+        finally:
+            if prefetch is not None:
+                prefetch.close()
+
+    def _run_integrated(self, n_batches, blocks_per_fix, raw_blocks_dev,
+                        start_block, coherent, prefetch):
         done = 0
         for _ in range(n_batches):
             n = blocks_per_fix
@@ -1043,22 +1074,26 @@ class DPEReceiver:
         # file-based streaming: a reader thread stages batch k+1's samples
         # on device while batch k computes (the reference's SampleBlock
         # producer thread + pinned-ring analogue, sampleblock.cu:307-463)
-        prefetch = (_RawPrefetcher(self.rawfile, self.S, sizes)
+        prefetch = (_RawPrefetcher(self.rawfile, sizes)
                     if raw_blocks_dev is None else None)
-        done = 0
-        pending = None
-        for n in sizes:
-            staged = prefetch.get() if prefetch is not None else None
-            out, preps = self._dispatch_batch(n, raw_blocks_dev,
-                                              start_block, done,
-                                              raw_staged=staged)
-            done += n
-            if pipeline:
-                if pending is not None:
-                    self._drain_batch(*pending)
-                pending = (out, preps)
-            else:
-                self._drain_batch(out, preps)
-        if pending is not None:
-            self._drain_batch(*pending)
-        return self.fixes
+        try:
+            done = 0
+            pending = None
+            for n in sizes:
+                staged = prefetch.get() if prefetch is not None else None
+                out, preps = self._dispatch_batch(n, raw_blocks_dev,
+                                                  start_block, done,
+                                                  raw_staged=staged)
+                done += n
+                if pipeline:
+                    if pending is not None:
+                        self._drain_batch(*pending)
+                    pending = (out, preps)
+                else:
+                    self._drain_batch(out, preps)
+            if pending is not None:
+                self._drain_batch(*pending)
+            return self.fixes
+        finally:
+            if prefetch is not None:
+                prefetch.close()

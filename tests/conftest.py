@@ -50,7 +50,10 @@ def rng():
     return np.random.default_rng(1234)
 
 
-CAPTURE_VERSION = "v2"
+# v3: CaptureSimulator output changed in round 2 (complex64 signal, f32
+# noise stream) — bump so stale caches from the old generator are not mixed
+# with bounds calibrated against the new one.
+CAPTURE_VERSION = "v3"
 CAPTURE_SECONDS = 40.0
 
 
@@ -58,7 +61,11 @@ CAPTURE_SECONDS = 40.0
 def capture_40s(handoff_path):
     """(path, meta, handoff) of a cached 40 s simulated capture at the
     handoff state. Session-scoped and disk-cached: generated once, shared
-    by the scalar e2e and DPE golden tests regardless of test order."""
+    by the scalar e2e and DPE golden tests regardless of test order.
+    Generation is flock-guarded and atomically renamed so concurrent xdist
+    workers (pytest defaults to -n 4) neither duplicate the work nor read
+    a half-written capture."""
+    import fcntl
     import json
 
     from navlab_dpe_sdr_tpu.io.handoff import read_handoff
@@ -71,12 +78,18 @@ def capture_40s(handoff_path):
     meta_p = cache / f"capture40_{CAPTURE_VERSION}.json"
     hand = read_handoff(handoff_path)
     if not (dat.exists() and meta_p.exists()):
-        arr = hand.eph_array()
-        tow0 = hand.rx_time_a - 6.0
-        sim = CaptureSimulator(arr, hand.x_ecef, tow0=tow0, fs=fs,
-                               cn0_dbhz=47.0, nav_data=True, seed=99)
-        sim.write_capture(str(dat), CAPTURE_SECONDS)
-        meta = {"tow0": tow0, "rx_ecef": list(map(float, hand.x_ecef)),
-                "prns": hand.prn_list, "fs": fs}
-        meta_p.write_text(json.dumps(meta))
+        with open(cache / f"capture40_{CAPTURE_VERSION}.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not (dat.exists() and meta_p.exists()):   # re-check in lock
+                arr = hand.eph_array()
+                tow0 = hand.rx_time_a - 6.0
+                sim = CaptureSimulator(arr, hand.x_ecef, tow0=tow0, fs=fs,
+                                       cn0_dbhz=47.0, nav_data=True, seed=99)
+                tmp = dat.with_suffix(".dat.tmp")
+                sim.write_capture(str(tmp), CAPTURE_SECONDS)
+                tmp.rename(dat)
+                meta = {"tow0": tow0,
+                        "rx_ecef": list(map(float, hand.x_ecef)),
+                        "prns": hand.prn_list, "fs": fs}
+                meta_p.write_text(json.dumps(meta))
     return str(dat), json.loads(meta_p.read_text()), hand

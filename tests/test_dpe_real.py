@@ -310,16 +310,23 @@ def test_coherent_integration():
     samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
     samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
     truth = hand.x_ecef.copy()
-    rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
-                     copy.deepcopy(hand), grid=spread_grid(),
-                     eph=copy.deepcopy(arr))
-    rx.run_integrated(2, blocks_per_fix=8, coherent=True)
+    fixes = {}
+    for label, coh in (("coh", True), ("noncoh", False)):
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                         copy.deepcopy(hand), grid=spread_grid(),
+                         eph=copy.deepcopy(arr))
+        rx.run_integrated(2, blocks_per_fix=8, coherent=coh)
+        fixes[label] = [f.x_ecef[:3].copy() for f in rx.fixes]
     # a bit-alignment failure partially cancels the coherent sum and throws
     # the argmax tens of meters off (or worse); correct alignment leaves
     # only the usual 1-2-dense-cell (5-11 m) argmax scatter on the
-    # bandlimit-rounded correlation apex (4-seed sweep: max 11.2 m)
-    for f in rx.fixes:
-        assert np.linalg.norm(f.x_ecef[:3] - truth[:3]) < 15.0
+    # bandlimit-rounded correlation apex (4-seed sweep: max 11.2 m). The
+    # sharp check is coherent-vs-noncoherent on the SAME capture: the
+    # noncoherent sum has no alignment to get wrong, so any alignment
+    # error shows as a divergence between the two estimates.
+    for c, nc in zip(fixes["coh"], fixes["noncoh"]):
+        assert np.linalg.norm(c - truth[:3]) < 15.0, (c, truth[:3])
+        assert np.linalg.norm(c - nc) < 12.0, (c, nc)
 
     # (b) 30 dB-Hz: within 1.5x of the noncoherent error (typically equal)
     sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0)

@@ -19,9 +19,7 @@ from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
 from navlab_dpe_sdr_tpu.models.scalar import ScalarReceiver
 
 # the shared 40 s capture fixture lives in conftest.py (session-scoped,
-# disk-cached) so test order doesn't matter; keep the version re-export for
-# modules that key their own caches off it
-from tests.conftest import CAPTURE_VERSION  # noqa: F401
+# disk-cached) so test order doesn't matter
 
 FS = 2.5e6
 
