@@ -376,6 +376,33 @@ def cmd_mc(args):
             print(f"wrote {args.out_dir}/summary.json")
 
 
+def cmd_sens(args):
+    """C/N0 sensitivity ladder on the synthetic truth scenario: per-block
+    vs on-device K-block-integrated DPE hold (capability sweep beyond the
+    reference's geometry-only harnesses)."""
+    from .models import montecarlo as mc
+    from .models.dpe import DPEConfig
+    from .models.grid import make_grid
+
+    overrides = {}
+    if args.config:
+        overrides.update(json.load(open(args.config)))
+    overrides.update(_parse_set(args.set))
+    cfg = DPEConfig(**{k: v for k, v in overrides.items()
+                       if k in DPEConfig.__dataclass_fields__})
+    levels = [float(v) for v in args.levels.split(",")]
+    grid = make_grid(args.grid) if args.grid else None
+    results = mc.cn0_sweep(levels, blocks=args.blocks,
+                           blocks_per_fix=args.k, seed=args.seed,
+                           grid=grid, config=cfg, hold_m=args.hold_m,
+                           coherent=args.coherent, out_path=args.out)
+    held = [pt.cn0_dbhz for pt in results if pt.held]
+    print(f"integrated hold (<{args.hold_m:.0f} m) down to "
+          f"{min(held):.1f} dB-Hz" if held else "no level held")
+    if args.out:
+        print(f"wrote {args.out}")
+
+
 def cmd_console(args):
     from .console import Console
     Console().cmdloop()
@@ -555,6 +582,26 @@ def main(argv=None):
     pm.add_argument("--set", action="append", default=[],
                     metavar="K=V", help="DPEConfig field override")
     pm.set_defaults(fn=cmd_mc)
+
+    px = sub.add_parser("sens", help="C/N0 sensitivity ladder (per-block "
+                                     "vs integrated DPE hold)")
+    px.add_argument("--levels", default="45,40,35,30,25",
+                    help="comma-separated C/N0 levels [dB-Hz]")
+    px.add_argument("--blocks", type=int, default=32,
+                    help="blocks per level (20 ms each)")
+    px.add_argument("--k", type=int, default=8,
+                    help="blocks integrated per fix")
+    px.add_argument("--hold-m", type=float, default=30.0,
+                    help="hold threshold on the integrated median [m]")
+    px.add_argument("--coherent", action="store_true",
+                    help="also run coherent (bit-aligned) integration")
+    px.add_argument("--grid", help="grid preset (default spread)")
+    px.add_argument("--seed", type=int, default=7)
+    px.add_argument("--out", help="CSV output path")
+    px.add_argument("--config")
+    px.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE")
+    px.set_defaults(fn=cmd_sens)
 
     pc = sub.add_parser("console", help="interactive flow console")
     pc.set_defaults(fn=cmd_console)

@@ -167,6 +167,95 @@ def spacing_sweep(capture, hand, spacings, blocks: int = 50, grid_n: int = 25,
     return results
 
 
+@dataclass
+class SensPoint:
+    """One C/N0 level of a sensitivity ladder."""
+    cn0_dbhz: float
+    per_block_med_m: float = float("nan")
+    integrated_med_m: float = float("nan")
+    coherent_med_m: float | None = None
+    held: bool = False                  # integrated median < hold_m
+
+
+SENS_HEADER = ["cn0_dbhz", "per_block_med_m", "integrated_med_m",
+               "coherent_med_m", "held"]
+
+
+def cn0_sweep(levels, blocks: int = 32, blocks_per_fix: int = 8,
+              seed: int = 7, grid=None, config=None, hold_m: float = 30.0,
+              coherent: bool = False, out_path: str | None = None,
+              fs: float = 2.5e6, verbose: bool = True) -> list[SensPoint]:
+    """Signal-sensitivity ladder — a capability sweep beyond the reference
+    harnesses (which only perturb geometry, main.cu:140-277): synthesize
+    the standard 8-satellite scenario at each C/N0, run the receiver from
+    exact init, and record the per-block argmax error next to the K-block
+    on-device integrated error. Shows where the per-block estimator breaks
+    and how far score integration extends the hold (the integrated surface
+    gains sqrt(K) in score SNR with no extra host traffic)."""
+    from ..io.rawfile import DTYPE_IQ16, SampleFile
+    from ..io.scenario import make_scenario
+    from .dpe import DPEReceiver
+    from .grid import spread_grid
+
+    grid = grid or spread_grid()
+    results = []
+    for cn0 in levels:
+        sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=float(cn0),
+                                       seed=seed)
+        n = 50000 * blocks
+        iq = sim.generate(n)
+        samples = np.empty(n, DTYPE_IQ16)
+        samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+        samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+        truth = hand.x_ecef
+
+        def _med(fixes, skip):
+            errs = [float(np.linalg.norm(f.x_ecef[0:3] - truth[0:3]))
+                    for f in fixes[skip:]]
+            return float(np.median(errs)) if errs else float("nan")
+
+        pt = SensPoint(cn0_dbhz=float(cn0))
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
+                         copy.deepcopy(hand), grid=grid, config=config,
+                         eph=copy.deepcopy(arr))
+        pt.per_block_med_m = _med(rx.run(blocks), blocks // 2)
+
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
+                         copy.deepcopy(hand), grid=grid, config=config,
+                         eph=copy.deepcopy(arr))
+        rx.run_integrated(blocks // blocks_per_fix, blocks_per_fix)
+        pt.integrated_med_m = _med(rx.fixes, 1)
+
+        if coherent:
+            rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
+                             copy.deepcopy(hand), grid=grid, config=config,
+                             eph=copy.deepcopy(arr))
+            rx.run_integrated(blocks // blocks_per_fix, blocks_per_fix,
+                              coherent=True)
+            pt.coherent_med_m = _med(rx.fixes, 1)
+
+        pt.held = pt.integrated_med_m < hold_m
+        results.append(pt)
+        if verbose:
+            coh = ("" if pt.coherent_med_m is None
+                   else f"  coherent={pt.coherent_med_m:7.1f} m")
+            print(f"C/N0 {cn0:5.1f} dB-Hz: per-block="
+                  f"{pt.per_block_med_m:7.1f} m  integrated(K="
+                  f"{blocks_per_fix})={pt.integrated_med_m:7.1f} m{coh}  "
+                  f"{'HELD' if pt.held else 'lost'}")
+    if out_path:
+        with open(out_path, "w", newline="") as fo:
+            w = csv.writer(fo)
+            w.writerow(SENS_HEADER)
+            for pt in results:
+                w.writerow([pt.cn0_dbhz, round(pt.per_block_med_m, 2),
+                            round(pt.integrated_med_m, 2),
+                            ("" if pt.coherent_med_m is None
+                             else round(pt.coherent_med_m, 2)),
+                            int(pt.held)])
+    return results
+
+
 def write_shift_file(path: str, results: list[MCRun]):
     """Shift/summary CSV (reference shiftFile, main.cu:135-206)."""
     with open(path, "w", newline="") as fo:

@@ -160,3 +160,22 @@ def test_montecarlo_harness(dpe_setup, tmp_path):
     assert len(xrows) == 10
     mc.save_summary(str(out / "summary.json"), summary, results)
     assert (out / "summary.json").exists()
+
+
+@pytest.mark.slow
+def test_cn0_sensitivity_sweep(tmp_path):
+    """C/N0 ladder: the per-block argmax breaks at 30 dB-Hz while K=8
+    on-device integration holds the fix (3-seed behavior: per-block 54-73 m
+    vs integrated 22-38 m); at 45 dB-Hz both hold."""
+    from navlab_dpe_sdr_tpu.models import montecarlo as mc
+
+    out = tmp_path / "sens.csv"
+    pts = mc.cn0_sweep([45.0, 30.0], blocks=16, blocks_per_fix=8,
+                       out_path=str(out), verbose=False)
+    by = {pt.cn0_dbhz: pt for pt in pts}
+    assert by[45.0].per_block_med_m < 25.0
+    assert by[45.0].held
+    assert by[30.0].per_block_med_m > 30.0
+    assert by[30.0].integrated_med_m < by[30.0].per_block_med_m
+    rows = out.read_text().splitlines()
+    assert rows[0].split(",")[0] == "cn0_dbhz" and len(rows) == 3
