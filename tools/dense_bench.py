@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=75, help="points per grid axis")
     p.add_argument("--blocks", type=int, default=2)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--integrate", type=int, default=0, metavar="K",
+                   help="coherent K-block integration: one scoring pass "
+                        "per K blocks (the dense-grid real-time mode)")
     p.add_argument("--out", default="DENSE_r02.json")
     args = p.parse_args(argv)
 
@@ -85,13 +88,31 @@ def main(argv=None):
     print(f"grid upload: {time.perf_counter() - t0:.1f} s "
           f"({(d_enu.nbytes + dv_enu.nbytes) / 1e6:.0f} MB)", flush=True)
 
-    def call(raw):
-        return dr.dpe_batch_blocks(
-            raw, jnp.asarray(pk),
-            chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
-            carr_fftpts=meta["carr_fftpts"], period=meta["period"],
-            n_periods=meta["n_periods"], n_blocks=n_blocks,
-            return_windows=False, code_win=cw, carr_win=vw)
+    if args.integrate:
+        # coherent K-block integration: correlation every block, ONE
+        # manifold scoring pass per K blocks — the dense-grid real-time
+        # enabler (scoring amortizes K x; see ops/dpe_real.py docstring)
+        n_blocks = args.integrate
+        raw_all = rng.integers(-2048, 2048, (n_blocks, s, 2)).astype(np.int16)
+        fpk = np.broadcast_to(fpk[:1], (n_blocks,) + fpk.shape[1:]).copy()
+        ipk = np.broadcast_to(ipk[:1], (n_blocks,) + ipk.shape[1:]).copy()
+        pk = dr.pack_params(fpk, ipk, 0)
+
+        def call(raw):
+            return dr.dpe_scan_integrate(
+                raw, jnp.asarray(pk),
+                chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
+                carr_fftpts=meta["carr_fftpts"], period=meta["period"],
+                n_periods=meta["n_periods"], n_blocks=n_blocks,
+                code_win=cw, carr_win=vw, coherent=True)
+    else:
+        def call(raw):
+            return dr.dpe_batch_blocks(
+                raw, jnp.asarray(pk),
+                chips, base0, time_idc, d_enu, dt_m, dv_enu, dtdot,
+                carr_fftpts=meta["carr_fftpts"], period=meta["period"],
+                n_periods=meta["n_periods"], n_blocks=n_blocks,
+                return_windows=False, code_win=cw, carr_win=vw)
 
     t0 = time.perf_counter()
     out = call(jnp.asarray(raw_all))
@@ -128,15 +149,19 @@ def main(argv=None):
         "backend": dev.platform,
         "device": str(dev.device_kind),
         "blocks_per_dispatch": n_blocks,
+        "coherent_integration_k": args.integrate or None,
         "memory": mem_info,
         "note": "reference cap 2*75^4 (batchcorrmanifold.h:17) never "
                 "demonstrated on the TX2; streaming-argmax scorer, peak "
                 "memory independent of grid size",
     }
+    out = args.out
+    if args.integrate and out == "DENSE_r02.json":
+        out = "DENSE_INT_r02.json"      # don't clobber the per-block row
     print(json.dumps(result), flush=True)
-    with open(args.out, "w") as f:
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"wrote {args.out}")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
