@@ -1025,7 +1025,16 @@ class DPEReceiver:
                 raw_dev = raw_blocks_dev
                 start = start_block + done
             pk = jnp.asarray(dpe_real_ops.pack_params(fpk, ipk, start))
-            row, flips = dpe_real_ops.dpe_scan_integrate(
+            # sub-grid Newton polish needs the integrated windows; the
+            # coherent path is the one that forms a single summed window.
+            # Measured caveat: with the noise integrated away the polish is
+            # limited by 3-tap interpolant-vertex BIAS (~5-8 m at fs-spaced
+            # code taps, 120 m/tap) — the argmax compares all candidates
+            # through the SAME interpolant so that bias cancels there. Use
+            # newton for off-lattice smoothness, argmax for absolute
+            # accuracy on dense grids.
+            refine = self.cfg.refine == "newton" and coherent
+            res = dpe_real_ops.dpe_scan_integrate(
                 raw_dev, pk, self._chips_f32, self._base0,
                 self._time_idc, self._d_enu, self._dt_m, self._dv_enu,
                 self._dtdot, carr_fftpts=self.carr_fftpts,
@@ -1033,15 +1042,22 @@ class DPEReceiver:
                 n_blocks=n, l_power=self.cfg.l_power,
                 interp=self.cfg.interp, mesh=self.cfg.mesh,
                 code_win=self.code_win, carr_win=self.carr_win,
-                coherent=coherent)
-            row = np.asarray(row)
-            flips = np.asarray(flips)
+                coherent=coherent, return_windows=refine)
+            row = np.asarray(res[0])
+            flips = np.asarray(res[1])
             # the measurement is referenced to the LAST block's prediction
             # (identical to every other block's: X frozen during the batch)
-            _, _, r_e2n, rx_time, mc, x_pred = preps[-1]
-            self._apply_measurement(int(row[0]), int(row[2]), r_e2n,
-                                    rx_time, mc, row[1], row[3],
-                                    flips[-1], x_pred)
+            fpk_last, _, r_e2n, rx_time, mc, x_pred = preps[-1]
+            if refine:
+                self._apply_refined(fpk_last, r_e2n, rx_time, mc,
+                                    int(row[0]), int(row[2]),
+                                    row[1], row[3], flips[-1],
+                                    np.asarray(res[2]), np.asarray(res[3]),
+                                    x_pred)
+            else:
+                self._apply_measurement(int(row[0]), int(row[2]), r_e2n,
+                                        rx_time, mc, row[1], row[3],
+                                        flips[-1], x_pred)
             self.rx_time_a = self.rx_time - self.ekf.x[3] / C
             self._update_channels_from_state()
             done += n

@@ -766,14 +766,15 @@ def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
                                              "n_periods", "n_blocks",
                                              "l_power", "interp", "mesh",
                                              "code_win", "carr_win",
-                                             "coherent"))
+                                             "coherent", "return_windows"))
 def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                        d_enu, dt_m, dv_enu, dtdot,
                        carr_fftpts: int, period: int, n_periods: int,
                        n_blocks: int, l_power: int = 1,
                        interp: str = "quadratic", mesh=None,
                        code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
-                       coherent: bool = False):
+                       coherent: bool = False,
+                       return_windows: bool = False):
     """Multi-block score integration in one dispatch.
 
     Noncoherent (default): accumulates the position/velocity score
@@ -819,5 +820,16 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
     vb, va = _score_axis_accumulate(
         out.carr_mag, los_enu, fpk_s[:, 9], fpk_s[:, 10], None,
         dv_enu, dtdot, interp, l_power, mesh=mesh)
-    return (jnp.stack([pa.astype(jnp.float32), pb,
-                       va.astype(jnp.float32), vb]), flips)
+    head = jnp.stack([pa.astype(jnp.float32), pb,
+                      va.astype(jnp.float32), vb])
+    if return_windows:
+        # the integrated window magnitudes (coherent: the |sum|; the
+        # per-block preps re-anchor the window centers so the summed
+        # window is interpretable with the LAST block's params) — for the
+        # host-side sub-grid Newton polish
+        if not coherent:
+            raise ValueError("return_windows requires coherent=True (the "
+                             "noncoherent path never forms one summed "
+                             "window)")
+        return head, flips, out.code_mag[0], out.carr_mag[0]
+    return (head, flips)

@@ -221,6 +221,37 @@ def test_newton_refine_batched():
     assert frac.max() > 1e-3, enu
 
 
+def test_integrated_coherent_newton_refine():
+    """refine='newton' + coherent integration: the summed windows come back
+    from the device and the host polish produces finite off-lattice fixes.
+    Accuracy caveat (measured): the 3-tap vertex carries ~5-8 m of
+    interpolant bias at fs-spaced code taps, so this mode trades absolute
+    accuracy for off-lattice smoothness — asserted as a ceiling, not a win
+    over the argmax (which pins to 0 m on this on-lattice scenario)."""
+    import copy
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=45.0)
+    n = 50000 * 16
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    rx = DPEReceiver(SampleFile(samples=samples, fs=FS),
+                     copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr),
+                     config=DPEConfig(refine="newton"))
+    rx.run_integrated(2, blocks_per_fix=8, coherent=True)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx.fixes]
+    assert all(e < 12.0 for e in errs), errs
+    # the polish must actually move fixes off the 5 m dense lattice
+    from navlab_dpe_sdr_tpu.libgnss import frames
+    r = frames.ecef_to_enu_matrix(truth[0:3])
+    enu = np.stack([r @ (f.x_ecef[0:3] - truth[0:3]) for f in rx.fixes])
+    frac = np.minimum(np.mod(np.abs(enu), 5.0), 5.0 - np.mod(np.abs(enu), 5.0))
+    assert frac.max() > 1e-3, enu
+
+
 def test_integrated_mode_holds_weak_signal():
     """At 30 dB-Hz the per-block argmax scatters off (tens of meters); the
     on-device K-block score integration holds the fix — a sensitivity
