@@ -131,3 +131,50 @@ def test_port_logger_complex_and_any_port(tmp_path):
         pl.step()
     np.testing.assert_array_equal(np.fromfile(bpath, np.float64),
                                   np.arange(5.0))
+
+
+def test_raw_prefetcher_lifecycle():
+    """_RawPrefetcher: stages batches in order, surfaces reader errors on
+    get(), and close() unblocks/joins the reader thread even when the
+    consumer abandons the queue mid-run (the exception path of
+    run_batched/run_integrated)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from navlab_dpe_sdr_tpu.models.dpe import _RawPrefetcher
+
+    class FakeRaw:
+        def __init__(self, n_blocks, fail_at=None):
+            self.i = 0
+            self.n = n_blocks
+            self.fail_at = fail_at
+
+        def read_block_raw(self):
+            if self.fail_at is not None and self.i == self.fail_at:
+                raise IOError("disk gone")
+            if self.i >= self.n:
+                raise EOFError("past end")
+            b = np.full((10, 2), self.i, np.int16)
+            self.i += 1
+            return b
+
+    # in-order staging
+    pf = _RawPrefetcher(FakeRaw(6), [2, 2, 2])
+    firsts = [int(np.asarray(pf.get())[0, 0, 0]) for _ in range(3)]
+    assert firsts == [0, 2, 4]
+    pf.close()
+    assert not pf._thread.is_alive()
+
+    # reader error surfaces on the consumer side
+    pf = _RawPrefetcher(FakeRaw(6, fail_at=3), [2, 2, 2])
+    assert int(np.asarray(pf.get())[0, 0, 0]) == 0
+    import pytest as _pytest
+    with _pytest.raises(IOError):
+        pf.get()
+    pf.close()
+
+    # consumer abandons after one batch: close() must not deadlock on the
+    # reader's bounded put and must join the thread
+    pf = _RawPrefetcher(FakeRaw(20), [2] * 10)
+    pf.get()
+    pf.close()
+    assert not pf._thread.is_alive()
