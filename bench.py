@@ -19,8 +19,38 @@ import time
 import numpy as np
 
 
+def _axon_tunnel_alive() -> bool:
+    """True if any relay listener is up. The axon plugin retries a dead
+    relay port forever inside jax.devices() (no error), so a dead tunnel
+    would hang the bench; probe the known relay ports in milliseconds
+    instead."""
+    import socket
+    for port in (8082, 8083, 8087, 8092, 8093, 8097,
+                 8102, 8103, 8107, 8112, 8113, 8117):
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            pass
+        finally:
+            s.close()
+    return False
+
+
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _axon_tunnel_alive():
+        print("# axon tunnel down (no relay listener) — CPU fallback",
+              file=sys.stderr)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
     from navlab_dpe_sdr_tpu.io.scenario import make_scenario
