@@ -413,11 +413,39 @@ def cmd_bench(args):
     subprocess.run([sys.executable, "bench.py", str(args.blocks)])
 
 
+def _axon_tunnel_alive() -> bool:
+    """True if a relay listener answers. The axon plugin retries a dead
+    relay port forever inside jax.devices() (no error), so a dead tunnel
+    hangs every command; probe the known ports in milliseconds instead."""
+    import socket
+    for port in (8082, 8083, 8087, 8092, 8093, 8097,
+                 8102, 8103, 8107, 8112, 8113, 8117):
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            pass
+        finally:
+            s.close()
+    return False
+
+
 def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
     """Pin the JAX backend. Env vars are pre-empted in some environments, so
     use the config API (must run before backend initialization)."""
+    import os
+
     import jax
-    if choice == "cpu" or (choice == "auto" and default_cpu):
+    force_cpu = choice == "cpu" or (choice == "auto" and default_cpu)
+    if (not force_cpu and choice != "tpu"
+            and os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not _axon_tunnel_alive()):
+        print("warning: axon tunnel down (no relay listener) — CPU fallback",
+              file=sys.stderr)
+        force_cpu = True
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         if cpu_devices:
             jax.config.update("jax_num_cpu_devices", int(cpu_devices))
