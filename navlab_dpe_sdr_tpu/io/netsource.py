@@ -14,6 +14,22 @@ import threading
 import numpy as np
 
 
+def open_tcp_source(host: str, port: int, block_samples: int,
+                    timeout_s: float = 1.5, start_byte: int = 0):
+    """Preferred constructor: the native ring-buffered TCP source
+    (runtime/native/sample_reader.cpp sr_open_tcp — producer thread +
+    N-deep ring, true double buffering) when the native runtime is built,
+    else the pure-Python blocking reader below."""
+    try:
+        from ..runtime.nativelib import SampleStream
+        return SampleStream(f"tcp://{host}:{port}",
+                            block_samples=block_samples,
+                            start_byte=start_byte, timeout_s=timeout_s)
+    except Exception:
+        return TcpSampleSource(host, port, block_samples,
+                               timeout_s=timeout_s)
+
+
 class TcpSampleSource:
     """Blocking block reader over a TCP byte stream of int16 I/Q samples."""
 

@@ -8,11 +8,16 @@
 //
 // C ABI for ctypes. Build: make -C navlab_dpe_sdr_tpu/runtime/native
 
+#include <arpa/inet.h>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <netdb.h>
+#include <netinet/in.h>
 #include <pthread.h>
+#include <sys/socket.h>
+#include <unistd.h>
 
 namespace {
 
@@ -66,18 +71,8 @@ void* reader_main(void* arg) {
     }
 }
 
-}  // namespace
-
-extern "C" {
-
-void* sr_open(const char* path, long block_bytes, int n_buffers,
-              long start_byte, double timeout_s) {
-    FILE* fo = fopen(path, "rb");
-    if (!fo) return nullptr;
-    if (start_byte > 0 && fseek(fo, start_byte, SEEK_SET) != 0) {
-        fclose(fo);
-        return nullptr;
-    }
+Ring* ring_start(FILE* fo, long block_bytes, int n_buffers,
+                 double timeout_s) {
     Ring* r = new Ring();
     r->fo = fo;
     r->block_bytes = block_bytes;
@@ -94,6 +89,67 @@ void* sr_open(const char* path, long block_bytes, int n_buffers,
         return nullptr;
     }
     return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sr_open(const char* path, long block_bytes, int n_buffers,
+              long start_byte, double timeout_s) {
+    FILE* fo = fopen(path, "rb");
+    if (!fo) return nullptr;
+    if (start_byte > 0 && fseek(fo, start_byte, SEEK_SET) != 0) {
+        fclose(fo);
+        return nullptr;
+    }
+    return ring_start(fo, block_bytes, n_buffers, timeout_s);
+}
+
+// TCP sample source (reference sampleblock.cu:134-156 — the upstream
+// socket mode never worked; this one does). Connects, optionally skips
+// start_byte bytes of the stream, then streams fixed-size blocks through
+// the same ring. fread on the socket stream blocks until a full block
+// arrives (fixed-rate live streaming semantics); a short read means the
+// peer closed.
+void* sr_open_tcp(const char* host, int port, long block_bytes,
+                  int n_buffers, long start_byte, double timeout_s) {
+    addrinfo hints = {};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    char portstr[16];
+    snprintf(portstr, sizeof portstr, "%d", port);
+    addrinfo* res = nullptr;
+    if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res)
+        return nullptr;
+    int fd = -1;
+    for (addrinfo* ai = res; ai; ai = ai->ai_next) {
+        fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
+        if (fd < 0) continue;
+        if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
+        close(fd);
+        fd = -1;
+    }
+    freeaddrinfo(res);
+    if (fd < 0) return nullptr;
+    FILE* fo = fdopen(fd, "rb");
+    if (!fo) {
+        close(fd);
+        return nullptr;
+    }
+    // drain the skip prefix (lseek is meaningless on a socket)
+    char buf[65536];
+    long left = start_byte;
+    while (left > 0) {
+        size_t want = left < (long)sizeof buf ? (size_t)left : sizeof buf;
+        size_t got = fread(buf, 1, want, fo);
+        if (got == 0) {
+            fclose(fo);
+            return nullptr;
+        }
+        left -= (long)got;
+    }
+    return ring_start(fo, block_bytes, n_buffers, timeout_s);
 }
 
 // Pop the next block into dst. Returns bytes copied (may be < block_bytes at

@@ -36,6 +36,10 @@ def load():
     lib.sr_open.restype = ctypes.c_void_p
     lib.sr_open.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
                             ctypes.c_long, ctypes.c_double]
+    lib.sr_open_tcp.restype = ctypes.c_void_p
+    lib.sr_open_tcp.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                ctypes.c_long, ctypes.c_int,
+                                ctypes.c_long, ctypes.c_double]
     lib.sr_next.restype = ctypes.c_long
     lib.sr_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.sr_depth.restype = ctypes.c_int
@@ -65,12 +69,20 @@ class SampleStream:
     def __init__(self, path: str, block_samples: int, n_buffers: int = 32,
                  start_byte: int = 0, bytes_per_sample: int = 4,
                  timeout_s: float = 1.5):
+        """path: a capture file, or "tcp://host:port" for the live socket
+        source (reference sampleblock.cu:134-156 — working here)."""
         lib = load()
         self._lib = lib
         self.block_samples = block_samples
         self.block_bytes = block_samples * bytes_per_sample
-        self._h = lib.sr_open(path.encode(), self.block_bytes, n_buffers,
-                              start_byte, timeout_s)
+        if path.startswith("tcp://"):
+            host, _, port = path[6:].rpartition(":")
+            self._h = lib.sr_open_tcp(host.encode(), int(port),
+                                      self.block_bytes, n_buffers,
+                                      start_byte, timeout_s)
+        else:
+            self._h = lib.sr_open(path.encode(), self.block_bytes,
+                                  n_buffers, start_byte, timeout_s)
         if not self._h:
             raise OSError(f"sr_open failed for {path}")
         self._buf = np.empty(self.block_bytes, dtype=np.uint8)

@@ -46,6 +46,15 @@ def test_tcp_sample_source(tmp_path, scene):
         np.stack([first["i"], first["q"]], axis=1),
         np.frombuffer(path.read_bytes()[:200000], np.int16).reshape(50000, 2))
 
+    # preferred constructor: native ring-buffered TCP source when built
+    from navlab_dpe_sdr_tpu.io.netsource import open_tcp_source
+    srv2 = FileReplayServer(str(path))
+    with open_tcp_source("127.0.0.1", srv2.port, block_samples=50000) as src:
+        blk = src.next_block()
+        np.testing.assert_array_equal(
+            blk, np.stack([first["i"], first["q"]], axis=1))
+    srv2.join()
+
 
 def test_weighted_mean_estimator(scene):
     samples, hand, arr = scene

@@ -178,3 +178,40 @@ def test_raw_prefetcher_lifecycle():
     pf.get()
     pf.close()
     assert not pf._thread.is_alive()
+
+
+@needs_native
+def test_sample_stream_tcp(tmp_path):
+    """Native TCP sample source: fixed-size blocks over a live socket with
+    a start-byte skip and clean EOF on peer close (the reference's broken
+    socket mode, sampleblock.cu:134-156, working)."""
+    import socket
+    import threading
+
+    from navlab_dpe_sdr_tpu.runtime.nativelib import SampleStream
+
+    n_blocks, s = 4, 250
+    data = (np.arange(n_blocks * s * 2, dtype=np.int16)
+            .reshape(n_blocks, s, 2))
+    skip = 24  # bytes of stream preamble to discard
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"\x55" * skip + data.tobytes())
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    with SampleStream(f"tcp://127.0.0.1:{port}", block_samples=s,
+                      start_byte=skip, timeout_s=5.0) as st:
+        for k in range(n_blocks):
+            blk = st.next_block()
+            np.testing.assert_array_equal(blk, data[k])
+        assert st.next_block() is None        # peer closed -> clean EOF
+    t.join(timeout=2.0)
+    srv.close()
