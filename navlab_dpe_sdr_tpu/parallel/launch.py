@@ -22,8 +22,19 @@ import numpy as np
 
 
 def init_distributed(coordinator: str, num_processes: int, process_id: int):
+    import os
+
     import jax
 
+    # virtual-device runs are CPU by definition; in environments where a
+    # TPU plugin pre-empts env vars, force the backend via the config API
+    # (the same heuristic as __graft_entry__.dryrun_multichip)
+    if "xla_force_host_platform_device_count" in os.environ.get(
+            "XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -128,6 +139,10 @@ def main(argv=None):
     p.add_argument("--batched", action="store_true",
                    help="use the batched scan path (run_batched)")
     p.add_argument("--bench-only", action="store_true")
+    p.add_argument("--grid", default="spread",
+                   choices=["spread", "uniform", "dense"])
+    p.add_argument("--grid-n", type=int, help="uniform/dense axis points")
+    p.add_argument("--grid-spacing", type=float)
     args = p.parse_args(argv)
 
     init_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -145,10 +160,18 @@ def main(argv=None):
     from ..io.handoff import read_handoff
     from ..io.rawfile import SampleFile
     from ..models.dpe import DPEConfig, DPEReceiver
+    from ..models.grid import make_grid
 
+    gkw = {}
+    if args.grid_n:
+        gkw["n"] = args.grid_n
+    if args.grid_spacing:
+        gkw["pos_spacing"] = args.grid_spacing
+    grid = make_grid(args.grid, **gkw) if (args.grid != "spread" or gkw) \
+        else None
     hand = read_handoff(args.handoff)
     rf = SampleFile(args.capture, fs=2.5e6)
-    rx = DPEReceiver(rf, hand, config=DPEConfig(mesh=mesh))
+    rx = DPEReceiver(rf, hand, grid=grid, config=DPEConfig(mesh=mesh))
     if args.batched:
         rx.run_batched(args.blocks)
     else:

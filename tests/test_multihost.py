@@ -81,3 +81,44 @@ def test_two_process_global_mesh_matches_single():
         assert int(kv["nloc"]) == 4, kv        # ...but only 4 local
         assert int(kv["pa"]) == want_pa, (kv, want_pa)
         assert int(kv["va"]) == want_va, (kv, want_va)
+
+
+@pytest.mark.slow
+def test_two_process_launcher_end_to_end(capture_40s):
+    """The multi-host launcher binary (parallel.launch) run as two real
+    processes: each runs the identical host loop on its capture shard with
+    grid scoring sharded over the 8-device global mesh; both must converge
+    to the same fix near the true receiver position."""
+    import os
+
+    dat, meta, hand = capture_40s
+    handoff_csv = "/tmp/navlab_tpu_fixtures/test_handoff.csv"
+    if not os.path.exists(handoff_csv):
+        pytest.skip("shared test handoff not generated yet")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    cmd = [sys.executable, "-m", "navlab_dpe_sdr_tpu.parallel.launch",
+           "--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+           "--capture", dat, "--handoff", handoff_csv, "--blocks", "5",
+           "--grid", "uniform", "--grid-n", "9", "--grid-spacing", "8.0"]
+    procs = [subprocess.Popen(cmd + ["--process-id", str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env)
+             for i in range(2)]
+    fixes = {}
+    for i, p in enumerate(procs):
+        out_b, _ = p.communicate(timeout=500)
+        text = out_b.decode()
+        assert p.returncode == 0, text[-2000:]
+        line = [ln for ln in text.splitlines() if "final fix" in ln][-1]
+        fixes[i] = np.fromstring(line.split("[")[-1].rstrip("]"), sep=" ")
+
+    truth = np.asarray(meta["rx_ecef"][:3])
+    np.testing.assert_allclose(fixes[0], fixes[1], atol=1e-6)
+    assert np.linalg.norm(fixes[0] - truth) < 40.0, (fixes[0], truth)
