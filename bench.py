@@ -19,30 +19,12 @@ import time
 import numpy as np
 
 
-def _axon_tunnel_alive() -> bool:
-    """True if any relay listener is up. The axon plugin retries a dead
-    relay port forever inside jax.devices() (no error), so a dead tunnel
-    would hang the bench; probe the known relay ports in milliseconds
-    instead."""
-    import socket
-    for port in (8082, 8083, 8087, 8092, 8093, 8097,
-                 8102, 8103, 8107, 8112, 8113, 8117):
-        s = socket.socket()
-        s.settimeout(0.5)
-        try:
-            s.connect(("127.0.0.1", port))
-            return True
-        except OSError:
-            pass
-        finally:
-            s.close()
-    return False
-
-
 def main():
     import os
 
     import jax
+
+    from navlab_dpe_sdr_tpu.cli import _axon_tunnel_alive
 
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not _axon_tunnel_alive():
         print("# axon tunnel down (no relay listener) — CPU fallback",
@@ -90,6 +72,8 @@ def main():
             os.replace(cache + ".tmp", cache)
         except OSError:
             pass
+        from navlab_dpe_sdr_tpu.io.synth import release_workspace
+        release_workspace()     # ~8 GB of one-shot synthesis buffers
 
     from navlab_dpe_sdr_tpu.models.dpe import DPEConfig
     rf = SampleFile(samples=samples, fs=2.5e6)

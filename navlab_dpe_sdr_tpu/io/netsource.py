@@ -27,18 +27,24 @@ def open_tcp_source(host: str, port: int, block_samples: int,
                             start_byte=start_byte, timeout_s=timeout_s)
     except Exception:
         return TcpSampleSource(host, port, block_samples,
-                               timeout_s=timeout_s)
+                               timeout_s=timeout_s, start_byte=start_byte)
 
 
 class TcpSampleSource:
     """Blocking block reader over a TCP byte stream of int16 I/Q samples."""
 
     def __init__(self, host: str, port: int, block_samples: int,
-                 timeout_s: float = 1.5):
+                 timeout_s: float = 1.5, start_byte: int = 0):
         self.block_samples = block_samples
         self.block_bytes = block_samples * 4
         self.sock = socket.create_connection((host, port), timeout=timeout_s)
         self.sock.settimeout(timeout_s)
+        left = start_byte                 # drain the skip prefix (no lseek
+        while left > 0:                   # on a socket)
+            chunk = self.sock.recv(min(left, 65536))
+            if not chunk:
+                raise EOFError("stream ended inside start_byte prefix")
+            left -= len(chunk)
 
     def next_block(self) -> np.ndarray | None:
         """Next [S, 2] int16 block; None on clean EOF; TimeoutError on

@@ -84,6 +84,15 @@ def _ws(n: int, key: str, dtype) -> np.ndarray:
     return a
 
 
+def release_workspace() -> None:
+    """Free the shared per-sample workspace (it otherwise retains the
+    buffers for the largest n seen — ~8 GB after a 115M-sample synthesis).
+    Call after a one-shot bulk generation; the next generate() simply
+    re-faults fresh pages."""
+    _WS.clear()
+    _WS["n"] = 0
+
+
 def _iota(n: int) -> np.ndarray:
     if n < _WS_MIN:
         return np.arange(n, dtype=np.float64)

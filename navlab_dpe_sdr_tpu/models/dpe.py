@@ -885,7 +885,6 @@ class DPEReceiver:
 
     def _dispatch_batch(self, n, raw_blocks_dev, start_block, done,
                         raw_staged=None):
-        rf = self.rawfile
         preps = self._prepare_batch(n)
         fpk = np.stack([p[0] for p in preps])                   # [N, 11, C]
         ipk = np.stack([p[1] for p in preps])                   # [N, 3, C]
@@ -893,12 +892,11 @@ class DPEReceiver:
         if raw_blocks_dev is not None:
             raw_dev = raw_blocks_dev
             start = start_block + done
-        elif raw_staged is not None:
-            raw_dev = raw_staged                                # [N, S, 2]
-            start = 0
         else:
-            blocks = np.stack([rf.read_block_raw() for _ in range(n)])
-            raw_dev = jnp.asarray(blocks)                       # [N, S, 2]
+            # file mode always stages through the prefetcher (run_batched
+            # is the only caller) — one read+upload implementation
+            assert raw_staged is not None
+            raw_dev = raw_staged                                # [N, S, 2]
             start = 0
 
         # ONE parameter upload per batch (every host->device buffer is a

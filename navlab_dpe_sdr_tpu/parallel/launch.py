@@ -167,8 +167,9 @@ def main(argv=None):
         gkw["n"] = args.grid_n
     if args.grid_spacing:
         gkw["pos_spacing"] = args.grid_spacing
-    grid = make_grid(args.grid, **gkw) if (args.grid != "spread" or gkw) \
-        else None
+    if args.grid == "spread" and gkw:
+        p.error("--grid-n/--grid-spacing need --grid uniform or dense")
+    grid = make_grid(args.grid, **gkw) if args.grid != "spread" else None
     hand = read_handoff(args.handoff)
     rf = SampleFile(args.capture, fs=2.5e6)
     rx = DPEReceiver(rf, hand, grid=grid, config=DPEConfig(mesh=mesh))

@@ -122,10 +122,21 @@ void* sr_open_tcp(const char* host, int port, long block_bytes,
     addrinfo* res = nullptr;
     if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res)
         return nullptr;
+    // enforce timeout_s on the socket itself (set before connect so the
+    // connect is bounded too): without it fread blocks forever on a
+    // stalled peer and sr_close deadlocks in pthread_join. A recv timeout
+    // surfaces as a short fread -> ring EOF (fail-fast, reference
+    // watchdog semantics, sampleblock.cu:432-447).
+    timeval tv;
+    double t = timeout_s > 0 ? timeout_s : 1.5;
+    tv.tv_sec = (long)t;
+    tv.tv_usec = (long)((t - (double)tv.tv_sec) * 1e6);
     int fd = -1;
     for (addrinfo* ai = res; ai; ai = ai->ai_next) {
         fd = socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);
         if (fd < 0) continue;
+        setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof tv);
+        setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof tv);
         if (connect(fd, ai->ai_addr, ai->ai_addrlen) == 0) break;
         close(fd);
         fd = -1;

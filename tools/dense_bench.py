@@ -42,7 +42,10 @@ def main(argv=None):
     dev = jax.devices()[0]
     print(f"backend: {dev.platform} ({dev.device_kind})", flush=True)
 
-    c, s, n_blocks = 8, 50000, args.blocks
+    # --integrate K replaces the per-block batch with one K-block
+    # coherent-integration dispatch (K == the block count)
+    c, s = 8, 50000
+    n_blocks = args.integrate if args.integrate else args.blocks
     a, meta = ge._example_args(c=c, s=s)
     (raw_re, raw_im, chips, base0, rc_mid, idx_next, fi, ri, time_idc,
      pos_start, vel_start, params) = a[:12]
@@ -92,12 +95,6 @@ def main(argv=None):
         # coherent K-block integration: correlation every block, ONE
         # manifold scoring pass per K blocks — the dense-grid real-time
         # enabler (scoring amortizes K x; see ops/dpe_real.py docstring)
-        n_blocks = args.integrate
-        raw_all = rng.integers(-2048, 2048, (n_blocks, s, 2)).astype(np.int16)
-        fpk = np.broadcast_to(fpk[:1], (n_blocks,) + fpk.shape[1:]).copy()
-        ipk = np.broadcast_to(ipk[:1], (n_blocks,) + ipk.shape[1:]).copy()
-        pk = dr.pack_params(fpk, ipk, 0)
-
         def call(raw):
             return dr.dpe_scan_integrate(
                 raw, jnp.asarray(pk),
