@@ -84,17 +84,28 @@ def test_two_process_global_mesh_matches_single():
 
 
 @pytest.mark.slow
-def test_two_process_launcher_end_to_end(capture_40s):
+def test_two_process_launcher_end_to_end(tmp_path):
     """The multi-host launcher binary (parallel.launch) run as two real
     processes: each runs the identical host loop on its capture shard with
     grid scoring sharded over the 8-device global mesh; both must converge
     to the same fix near the true receiver position."""
     import os
 
-    dat, meta, hand = capture_40s
-    handoff_csv = "/tmp/navlab_tpu_fixtures/test_handoff.csv"
-    if not os.path.exists(handoff_csv):
-        pytest.skip("shared test handoff not generated yet")
+    from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16
+    from navlab_dpe_sdr_tpu.io.handoff import write_handoff
+    from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 5
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    dat = str(tmp_path / "cap.dat")
+    samples.tofile(dat)
+    handoff_csv = str(tmp_path / "hand.csv")
+    write_handoff(handoff_csv, hand)
+    truth = hand.x_ecef[:3].copy()
 
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -119,6 +130,5 @@ def test_two_process_launcher_end_to_end(capture_40s):
         line = [ln for ln in text.splitlines() if "final fix" in ln][-1]
         fixes[i] = np.fromstring(line.split("[")[-1].rstrip("]"), sep=" ")
 
-    truth = np.asarray(meta["rx_ecef"][:3])
     np.testing.assert_allclose(fixes[0], fixes[1], atol=1e-6)
     assert np.linalg.norm(fixes[0] - truth) < 40.0, (fixes[0], truth)
