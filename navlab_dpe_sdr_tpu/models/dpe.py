@@ -190,6 +190,7 @@ class DPEReceiver:
                           q_pos=self.cfg.ekf_q_pos)
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
 
+        self._bytes_read0 = int(handoff.bytes_read)
         rawfile.seek_bytes(handoff.bytes_read)
         rawfile.set_block(self.cfg.T, self.cfg.T, verbose=False)
         self.S = rawfile.S
@@ -1060,6 +1061,40 @@ class DPEReceiver:
             self._update_channels_from_state()
             done += n
         return self.fixes
+
+    def save_handoff(self, path: str | None = None):
+        """Mid-run checkpoint in the handoff-CSV contract — the same file
+        the reference passes between PyGNSS and CUDARecv
+        (receiver.py:804-875 / dpinit.cpp:247-400). A new DPEReceiver
+        built from it resumes at the next block with identical channel,
+        EKF, and time state (bytes_read is derived from the block counter,
+        so it is exact in every run mode, including device-resident
+        captures and prefetched file streaming). Call between runs, not
+        from another thread mid-batch."""
+        from ..io.handoff import Handoff, write_handoff
+        from ..libgnss.ephemeris import ALL_FIELDS
+
+        h = Handoff()
+        h.rx_time = float(self.rx_time)
+        h.rx_time_a = float(self.rx_time_a)
+        h.x_ecef = np.asarray(self.ekf.x, dtype=np.float64).copy()
+        h.bytes_read = int(self._bytes_read0
+                           + self.mc * self.S * self.rawfile.datatype.itemsize)
+        h.prn_list = list(self.prn_list)
+        h.rc = self.rc.copy()
+        h.ri = self.ri.copy()
+        h.fc = self.fc.copy()
+        h.fi = self.fi.copy()
+        h.cp = self.cp.copy()
+        h.cp_timestamp = np.asarray(self.eph.cp_timestamp,
+                                    dtype=np.float64).copy()
+        h.tow = np.asarray(self.eph.tow_timestamp, dtype=np.float64).copy()
+        for name in ALL_FIELDS + ("IODE", "IODC"):
+            h.eph_fields[name] = np.array(
+                [getattr(e, name) for e in self.eph.ephs], dtype=np.float64)
+        if path:
+            write_handoff(path, h)
+        return h
 
     def run_batched(self, n_blocks: int, lookahead: int = 25,
                     raw_blocks_dev=None, start_block: int = 0,

@@ -381,3 +381,41 @@ def test_coherent_integration():
     # noisy; the coherent mode's win is cost, not accuracy)
     assert meds["coh"] < 45.0, meds
     assert meds["coh"] < 1.6 * meds["noncoh"] + 5.0, meds
+
+
+def test_dpe_checkpoint_resume_via_handoff():
+    """DPEReceiver.save_handoff is a faithful mid-run checkpoint: stopping
+    after 8 blocks and resuming a fresh receiver from the CSV reproduces
+    the uninterrupted run's remaining fixes (the reference's handoff
+    contract as a DPE-side resume, receiver.py:804-875)."""
+    import copy
+    import tempfile
+
+    from navlab_dpe_sdr_tpu.io.handoff import read_handoff
+
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 16
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+
+    rx_full = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                          copy.deepcopy(hand), grid=spread_grid(),
+                          eph=copy.deepcopy(arr))
+    rx_full.run(16)
+
+    rx_a = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), grid=spread_grid(),
+                       eph=copy.deepcopy(arr))
+    rx_a.run(8)
+    with tempfile.NamedTemporaryFile(suffix=".csv") as f:
+        rx_a.save_handoff(f.name)
+        h2 = read_handoff(f.name)
+    assert h2.bytes_read == 8 * 50000 * 4
+    rx_b = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS), h2,
+                       grid=spread_grid())
+    rx_b.run(8)
+
+    for fa, fb in zip(rx_full.fixes[8:], rx_b.fixes):
+        np.testing.assert_allclose(fb.x_ecef, fa.x_ecef, atol=1e-6)
