@@ -264,6 +264,9 @@ def cmd_dpe(args):
     if rx.fixes:
         last = rx.fixes[-1]
         print(f"final fix: {last.x_ecef[:3]}")
+    if args.save_handoff:
+        rx.save_handoff(args.save_handoff)
+        print(f"checkpoint written: {args.save_handoff}")
 
 
 def cmd_vt(args):
@@ -547,6 +550,9 @@ def main(argv=None):
     pd.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="DPEConfig overrides (setparam-style)")
     pd.add_argument("--config", help="JSON file of DPEConfig fields")
+    pd.add_argument("--save-handoff", metavar="OUT.csv",
+                    help="write a resume checkpoint (handoff contract) "
+                         "after the run")
     pd.add_argument("--profile-dir",
                     help="capture a jax profiler trace into this directory")
     pd.add_argument("--native-io", action="store_true",
