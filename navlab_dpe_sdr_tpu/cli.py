@@ -264,6 +264,19 @@ def cmd_dpe(args):
     if rx.fixes:
         last = rx.fixes[-1]
         print(f"final fix: {last.x_ecef[:3]}")
+    if args.rts_out:
+        if rx.cfg.ekf_mode != "full":
+            print("--rts-out needs --set ekf_mode=full", file=sys.stderr)
+        else:
+            from .io.printer import FixWriter
+            xs = rx.ekf.rts_smooth()
+            with FixWriter(args.rts_out, weekno=args.weekno) as w:
+                for fix, x in zip(rx.fixes, xs):
+                    w.write(type(fix)(mc=fix.mc, rx_time=fix.rx_time,
+                                      rx_time_a=fix.rx_time_a, x_ecef=x,
+                                      pos_score=fix.pos_score,
+                                      vel_score=fix.vel_score))
+            print(f"RTS-smoothed fixes written: {args.rts_out}")
     if args.save_handoff:
         rx.save_handoff(args.save_handoff)
         print(f"checkpoint written: {args.save_handoff}")
@@ -553,6 +566,9 @@ def main(argv=None):
     pd.add_argument("--save-handoff", metavar="OUT.csv",
                     help="write a resume checkpoint (handoff contract) "
                          "after the run")
+    pd.add_argument("--rts-out", metavar="OUT.csv",
+                    help="post-processing: RTS-smoothed fixes over the "
+                         "whole pass (needs ekf_mode=full)")
     pd.add_argument("--profile-dir",
                     help="capture a jax profiler trace into this directory")
     pd.add_argument("--native-io", action="store_true",

@@ -638,16 +638,12 @@ class DPEReceiver:
         eph = self.eph
         full = self.ekf.mode == "full"
 
-        # EKF chain: n time updates (F = I except "full")
+        # EKF chain: n time updates (F = I except "full"; route through
+        # time_update so the RTS history records in batched mode too)
         xs = np.empty((n, 8))
         if full:
-            x = self.ekf.x
             for k in range(n):
-                x = self.ekf.F @ x
-                xs[k] = x
-                self.ekf.P = (self.ekf.F @ self.ekf.P @ self.ekf.F.T
-                              + self.ekf.Q)
-            self.ekf.x = x.copy()
+                xs[k] = self.ekf.time_update()
         else:
             xs[:] = self.ekf.x
         rx_times = np.empty(n)

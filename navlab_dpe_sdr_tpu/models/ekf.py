@@ -61,6 +61,10 @@ class NavEKF:
         self.Q = self._make_q()
         # initial uncertainty: handoff-grade position/clock, loose velocity
         self.P = np.diag([100.0] * 3 + [400.0] + [4.0] * 3 + [4.0])
+        # forward history for the RTS backward pass (mode="full" only):
+        # one (x_pred, P_pred) + (x_upd, P_upd) pair per block — 2250
+        # blocks of 8-state history is ~2 MB, negligible
+        self.history: list = []
 
     def _make_q(self) -> np.ndarray:
         t = self.T
@@ -81,6 +85,7 @@ class NavEKF:
         self.x = self.F @ self.x
         if self.mode == "full":
             self.P = self.F @ self.P @ self.F.T + self.Q
+            self.history.append(["p", self.x.copy(), self.P.copy()])
         return self.x
 
     def measurement_update(self, z: np.ndarray,
@@ -103,4 +108,32 @@ class NavEKF:
         ikh = np.eye(8) - k @ self.H
         # Joseph form: keeps P symmetric PSD with adaptive R
         self.P = ikh @ self.P @ ikh.T + k @ r @ k.T
+        self.history.append(["u", self.x.copy(), self.P.copy()])
         return self.x
+
+    def rts_smooth(self) -> np.ndarray:
+        """Rauch-Tung-Striebel backward pass over the forward history
+        (mode="full"): returns [N, 8] smoothed states, one per
+        measurement. x_s[k] = x_u[k] + C_k (x_s[k+1] - x_p[k+1]) with
+        C_k = P_u[k] F^T P_p[k+1]^{-1}. Every state estimate then uses
+        the WHOLE pass (past and future measurements) — a post-processing
+        accuracy mode the real-time reference cannot express, and the
+        natural companion of batched/offline DPE runs."""
+        if self.mode != "full":
+            raise ValueError("rts_smooth needs ekf_mode='full' history")
+        preds = [(x, P) for tag, x, P in self.history if tag == "p"]
+        upds = [(x, P) for tag, x, P in self.history if tag == "u"]
+        n = min(len(preds), len(upds))
+        if n == 0:
+            return np.zeros((0, 8))
+        xs = np.empty((n, 8))
+        xs[n - 1] = upds[n - 1][0]
+        x_s, p_s = upds[n - 1]
+        for k in range(n - 2, -1, -1):
+            x_u, p_u = upds[k]
+            x_p1, p_p1 = preds[k + 1]
+            c = p_u @ self.F.T @ np.linalg.inv(p_p1)
+            x_s = x_u + c @ (x_s - x_p1)
+            p_s = p_u + c @ (p_s - p_p1) @ c.T
+            xs[k] = x_s
+        return xs

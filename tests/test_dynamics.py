@@ -131,3 +131,45 @@ def test_dpe_tracks_clock_drift():
     perr = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3])
             for f in rx.fixes[5:]]
     assert np.median(perr) < 25.0, perr
+
+
+def test_rts_smoother_beats_forward_ekf():
+    """Offline RTS pass over the full-EKF forward history: every state
+    estimate then uses past AND future measurements, so the smoothed
+    trajectory must beat the forward filter under a maneuver — a
+    post-processing mode the real-time reference cannot express."""
+    sim, hand, arr = make_scenario(nav_data=True)
+    vel = np.array([10.0, -8.0, 5.0])
+    acc = np.array([4.0, 3.0, -2.0])
+    rx_state = hand.x_ecef.copy()
+    rx_state[4:7] = vel
+    sim2 = CaptureSimulator(arr, rx_state, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=47.0, nav_data=True,
+                            accel_ecef=acc, seed=7)
+    n_blocks = 40
+    iq = sim2.generate(50000 * n_blocks)
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef = rx_state.copy()
+
+    from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+    rx = DPEReceiver(SampleFile(samples=_to_iq(iq), fs=FS),
+                     copy.deepcopy(hand2), grid=spread_grid(),
+                     eph=copy.deepcopy(arr),
+                     config=DPEConfig(ekf_mode="full"))
+    rx.run(n_blocks)
+    xs = rx.ekf.rts_smooth()
+    assert xs.shape == (n_blocks, 8)
+
+    p0 = rx_state[0:3]
+
+    def rms(states, times):
+        errs = [np.linalg.norm(x[0:3] - (p0 + vel * t + 0.5 * acc * t * t))
+                for x, t in zip(states, times)]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    times = [f.rx_time - hand.rx_time for f in rx.fixes]
+    fwd = rms([f.x_ecef for f in rx.fixes], times)
+    smo = rms(xs, times)
+    # measured: forward 5.75 m RMS -> smoothed 4.16 m on this scenario
+    assert smo < 0.85 * fwd, (smo, fwd)
+    assert smo < 4.8, (smo, fwd)
