@@ -267,6 +267,10 @@ def cmd_dpe(args):
     if args.rts_out:
         if rx.cfg.ekf_mode != "full":
             print("--rts-out needs --set ekf_mode=full", file=sys.stderr)
+        elif args.batched or args.integrate:
+            print("--rts-out needs the per-block loop (drop --batched/"
+                  "--integrate): batched runs record predictions in "
+                  "batches, which breaks the RTS pairing", file=sys.stderr)
         else:
             from .io.printer import FixWriter
             xs = rx.ekf.rts_smooth()

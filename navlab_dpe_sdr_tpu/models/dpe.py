@@ -161,6 +161,18 @@ class DPEReceiver:
                  eph: EphArray | None = None, eph_manager=None):
         self.rawfile = rawfile
         self.cfg = config or DPEConfig()
+        if self.cfg.engine == "fft" and self.cfg.refine:
+            raise ValueError(
+                "refine needs the score windows of engine='real'; the FFT "
+                "engine never returns them, so the polish would silently "
+                "not run")
+        if self.cfg.engine == "fft" and self.cfg.ekf_mode == "full":
+            import warnings
+            warnings.warn(
+                "engine='fft' provides no score windows: the full EKF runs "
+                "with its static default R instead of the adaptive "
+                "score-curvature R (use engine='real' for adaptive R)",
+                stacklevel=2)
         self.grid = check_grid_size(grid or spread_grid())
         self.prn_list = list(handoff.prn_list)
         c = len(self.prn_list)
@@ -208,6 +220,13 @@ class DPEReceiver:
                 f"score windows ({self.code_win}, {self.carr_win}) too "
                 f"narrow for this grid: outer grid points would score "
                 f"clamped window edges (need >= ({auto_cw}, {auto_vw}))")
+        if self.code_win > dpe_real_ops.SLIVER_LIMIT:
+            raise ValueError(
+                f"code_win={self.code_win} exceeds the nav-bit boundary-arc"
+                f" correction span ({dpe_real_ops.SLIVER_LIMIT} samples): "
+                f"flipped-window taps beyond it would be wrong. Use a "
+                f"smaller/denser grid, raise fs resolution, or widen "
+                f"_SLIVER in ops/dpe_real.py")
         self._time_idc = jnp.asarray((np.arange(self.S) / rawfile.fs)
                                      .astype(np.float32))
         self._chips_np = ca_table(self.prn_list)   # [C, 1023] int8
@@ -638,8 +657,10 @@ class DPEReceiver:
         eph = self.eph
         full = self.ekf.mode == "full"
 
-        # EKF chain: n time updates (F = I except "full"; route through
-        # time_update so the RTS history records in batched mode too)
+        # EKF chain: n time updates (F = I except "full"; routed through
+        # time_update for single-source filter math — note the resulting
+        # n-predictions-then-updates history is NOT RTS-pairable;
+        # rts_smooth validates and refuses it)
         xs = np.empty((n, 8))
         if full:
             for k in range(n):
@@ -924,9 +945,8 @@ class DPEReceiver:
         c = len(self.prn_list)
         cw = self.code_win
         vw = self.carr_win
-        pas = rows[:, 0].astype(np.int64)
+        pas, vas = dpe_real_ops.unpack_row_indices(rows)
         pps = rows[:, 1]
-        vas = rows[:, 2].astype(np.int64)
         vps = rows[:, 3]
         flips = rows[:, 4:4 + c]
         if rows.shape[1] > 4 + c:       # windows present (refine / full EKF)
@@ -994,6 +1014,8 @@ class DPEReceiver:
         but ONE manifold scoring pass per fix instead of per block — the
         N x cheaper path for dense-grid integration."""
         assert self.cfg.engine == "real"
+        self._check_batch_mode(raw_blocks_dev, start_block,
+                               n_batches * blocks_per_fix)
         prefetch = (_RawPrefetcher(self.rawfile,
                                    [blocks_per_fix] * n_batches)
                     if raw_blocks_dev is None else None)
@@ -1038,25 +1060,52 @@ class DPEReceiver:
                 interp=self.cfg.interp, mesh=self.cfg.mesh,
                 code_win=self.code_win, carr_win=self.carr_win,
                 coherent=coherent, return_windows=refine)
+            try:        # overlap the device->host fetch with nothing else
+                res[0].copy_to_host_async()                 # pending here,
+            except (AttributeError, RuntimeError):          # but free
+                pass
             row = np.asarray(res[0])
             flips = np.asarray(res[1])
+            pa_i, va_i = dpe_real_ops.unpack_row_indices(row[None, :])
+            pa_i, va_i = int(pa_i[0]), int(va_i[0])
             # the measurement is referenced to the LAST block's prediction
             # (identical to every other block's: X frozen during the batch)
             fpk_last, _, r_e2n, rx_time, mc, x_pred = preps[-1]
             if refine:
                 self._apply_refined(fpk_last, r_e2n, rx_time, mc,
-                                    int(row[0]), int(row[2]),
+                                    pa_i, va_i,
                                     row[1], row[3], flips[-1],
                                     np.asarray(res[2]), np.asarray(res[3]),
                                     x_pred)
             else:
-                self._apply_measurement(int(row[0]), int(row[2]), r_e2n,
+                self._apply_measurement(pa_i, va_i, r_e2n,
                                         rx_time, mc, row[1], row[3],
                                         flips[-1], x_pred)
             self.rx_time_a = self.rx_time - self.ekf.x[3] / C
             self._update_channels_from_state()
             done += n
         return self.fixes
+
+    def _check_batch_mode(self, raw_blocks_dev, start_block, n_blocks):
+        """Reject configurations the batched/integrated device paths do not
+        honor, instead of silently diverging from run()."""
+        if not self.cfg.use_argmax:
+            raise ValueError(
+                "batched/integrated modes compute the argmax on device; "
+                "the score-weighted-mean estimator (use_argmax=False) "
+                "needs the per-block run() path")
+        if self.cfg.dump_scores_to:
+            raise ValueError(
+                "dump_scores_to needs the per-block run() path (batched/"
+                "integrated modes never materialize the score surfaces)")
+        if raw_blocks_dev is not None:
+            have = int(raw_blocks_dev.shape[0])
+            if start_block + n_blocks > have:
+                raise ValueError(
+                    f"device-resident capture holds {have} blocks; "
+                    f"requested blocks {start_block}..{start_block + n_blocks}"
+                    f" (dynamic_slice would silently clamp and re-score "
+                    f"stale blocks)")
 
     def save_handoff(self, path: str | None = None):
         """Mid-run checkpoint in the handoff-CSV contract — the same file
@@ -1111,6 +1160,7 @@ class DPEReceiver:
         SampleFile and uploaded per batch.
         """
         assert self.cfg.engine == "real", "batched mode uses the real engine"
+        self._check_batch_mode(raw_blocks_dev, start_block, n_blocks)
         sizes = []
         left = n_blocks
         while left > 0:

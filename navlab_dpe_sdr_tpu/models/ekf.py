@@ -121,6 +121,17 @@ class NavEKF:
         natural companion of batched/offline DPE runs."""
         if self.mode != "full":
             raise ValueError("rts_smooth needs ekf_mode='full' history")
+        # the recursion requires strictly interleaved predict/update pairs
+        # (one measurement per prediction). Batched/integrated modes record
+        # n predictions before their updates (or one update per K
+        # predictions), which breaks the pairing — refuse rather than
+        # smooth with mismatched covariances.
+        tags = [t for t, _, _ in self.history]
+        if tags != ["p", "u"] * (len(tags) // 2):
+            raise ValueError(
+                "rts_smooth needs the per-block history (run()); batched/"
+                "integrated runs interleave predictions and updates in "
+                "batches, which the RTS pairing cannot use")
         preds = [(x, P) for tag, x, P in self.history if tag == "p"]
         upds = [(x, P) for tag, x, P in self.history if tag == "u"]
         n = min(len(preds), len(upds))

@@ -39,6 +39,9 @@ from .dpe import (CARR_WIN, CODE_WIN, ManifoldParams, _interp_scores,
                   _interp_weights)
 
 _SLIVER = 128  # samples around the nav-bit boundary handled exactly
+# the boundary-arc flip correction is exact only for window lags
+# |m| <= _SLIVER/2; receivers must keep code_win within this span
+SLIVER_LIMIT = _SLIVER
 
 
 @functools.lru_cache(maxsize=4)
@@ -489,29 +492,6 @@ def _constrain_chan(mesh, out: "RealBlockOut", los_enu, fpk):
     return out, los_enu, fpk
 
 
-def _score_axis_batched(win_mag, los_enu, centers, coefs, r0, off3, off1,
-                        interp: str, l_power: int):
-    """Block-batched manifold scoring for one axis (pos or vel).
-
-    Returns the full [N, G] score surface. The grid is chunked so the
-    [N, C, chunk, W] weight tensor stays bounded; per chunk everything is
-    batched over blocks — one kernel per op for all N blocks instead of a
-    device loop. For argmax-only consumers use _score_axis_argmax (no
-    [N, G] materialization — required at dense-grid sizes).
-    """
-    n = win_mag.shape[0]
-    g = off3.shape[0]
-    off3_ch, off1_ch, _, _ = _chunked_grid(off3, off1, _BATCH_CHUNK)
-
-    def one(chunk_ops):
-        o3, o1 = chunk_ops
-        return _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
-                            interp, l_power)
-
-    out = jax.lax.map(one, (off3_ch, off1_ch))          # [K, N, chunk]
-    return out.transpose(1, 0, 2).reshape(n, -1)[:, :g]
-
-
 def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
                        valid, interp: str, l_power: int, chunk: int,
                        block_sum: bool, psum_axis: str | None):
@@ -752,14 +732,32 @@ def _coherent_sum(outc: RealBlockOutC) -> RealBlockOut:
 
 
 def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
-    """One float32 row per block so the host needs a single fetch."""
+    """One float32 row per block so the host needs a single fetch.
+
+    Argmax indices are BITCAST into the f32 lanes (unpack_row_indices on
+    the host), not value-converted: float32 only holds integers exactly
+    to 2^24 = 16.7M and a dense 75^4 manifold has 31.6M points — a cast
+    would silently round the winning index."""
     n = pa.shape[0]
-    head = jnp.stack([pa.astype(jnp.float32), pb,
-                      va.astype(jnp.float32), vb], axis=1)    # [N, 4]
+    head = jnp.stack([jax.lax.bitcast_convert_type(pa.astype(jnp.int32),
+                                                   jnp.float32), pb,
+                      jax.lax.bitcast_convert_type(va.astype(jnp.int32),
+                                                   jnp.float32), vb],
+                     axis=1)                                  # [N, 4]
     parts = [head, out.flip_used.astype(jnp.float32)]
     if return_windows:
         parts += [out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)]
     return jnp.concatenate(parts, axis=1)
+
+
+def unpack_row_indices(rows: "np.ndarray") -> tuple:
+    """Host-side decode of the bitcast argmax indices in packed rows:
+    (pos_idx [N] int, vel_idx [N] int)."""
+    r = np.ascontiguousarray(rows[:, 0], dtype=np.float32)
+    pas = r.view(np.int32).astype(np.int64)
+    r = np.ascontiguousarray(rows[:, 2], dtype=np.float32)
+    vas = r.view(np.int32).astype(np.int64)
+    return pas, vas
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
@@ -820,8 +818,10 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
     vb, va = _score_axis_accumulate(
         out.carr_mag, los_enu, fpk_s[:, 9], fpk_s[:, 10], None,
         dv_enu, dtdot, interp, l_power, mesh=mesh)
-    head = jnp.stack([pa.astype(jnp.float32), pb,
-                      va.astype(jnp.float32), vb])
+    head = jnp.stack([jax.lax.bitcast_convert_type(pa.astype(jnp.int32),
+                                                   jnp.float32), pb,
+                      jax.lax.bitcast_convert_type(va.astype(jnp.int32),
+                                                   jnp.float32), vb])
     if return_windows:
         # the integrated window magnitudes (coherent: the |sum|; the
         # per-block preps re-anchor the window centers so the summed

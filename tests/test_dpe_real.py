@@ -443,3 +443,21 @@ def test_dpe_checkpoint_resume_via_handoff():
 
     for fa, fb in zip(rx_full.fixes[8:], rx_b.fixes):
         np.testing.assert_allclose(fb.x_ecef, fa.x_ecef, atol=1e-6)
+
+
+def test_packed_row_indices_exact_above_2e24():
+    """Argmax indices ride the packed f32 rows as BITCAST int32: a value
+    cast would round indices above 2^24 (dense 75^4 manifolds have 31.6M
+    points) and silently decode the wrong grid point."""
+    out = dpe_real_ops.RealBlockOut(
+        code_mag=jnp.zeros((2, 1, 8)), carr_mag=jnp.zeros((2, 1, 8)),
+        flip_used=jnp.zeros((2, 1)))
+    pa = jnp.asarray([31640624, 16777217], jnp.int32)   # 75^4-1, 2^24+1
+    va = jnp.asarray([31640623, 1], jnp.int32)
+    rows = np.asarray(dpe_real_ops._pack_rows(
+        out, pa, jnp.zeros(2), va, jnp.zeros(2), return_windows=False))
+    pas, vas = dpe_real_ops.unpack_row_indices(rows)
+    np.testing.assert_array_equal(pas, [31640624, 16777217])
+    np.testing.assert_array_equal(vas, [31640623, 1])
+    # the float32 value cast really would have corrupted these
+    assert int(np.float32(16777217)) != 16777217
