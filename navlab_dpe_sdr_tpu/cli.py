@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -284,6 +285,81 @@ def cmd_dpe(args):
     if args.save_handoff:
         rx.save_handoff(args.save_handoff)
         print(f"checkpoint written: {args.save_handoff}")
+
+
+def cmd_survey(args):
+    """Multi-epoch joint DPE: one static state against the whole pass."""
+    from .io.handoff import read_handoff
+    from .io.printer import FixWriter
+    from .io.rawfile import SampleFile
+    from .libgnss import frames
+    from .models.dpe import DPEConfig, DPEReceiver
+    from .models.grid import make_grid
+
+    hand = read_handoff(args.handoff)
+    rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
+    overrides = {}
+    if args.config:
+        overrides.update(json.load(open(args.config)))
+    overrides.update(_parse_set(args.set))
+    cfg = DPEConfig(**{k: v for k, v in overrides.items()
+                       if k in DPEConfig.__dataclass_fields__})
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        cfg.mesh = make_mesh(n_grid=int(spec.get("grid", 0)) or None,
+                             n_chan=int(spec.get("chan", 1)))
+    grid = make_grid(args.grid)
+    eph_manager = None
+    if args.rinex:
+        from .libgnss import rinex as rinex_mod
+        from .libgnss.ephemeris import EphManager
+        eph_manager = EphManager(rinex_mod.parse_rinex_nav(args.rinex),
+                                 hand.prn_list)
+    rx = DPEReceiver(rf, hand, grid=grid, config=cfg,
+                     eph_manager=eph_manager)
+    n_batches = args.blocks // args.batch
+    t0 = time.time()
+    res = rx.run_survey(n_batches, blocks_per_fix=args.batch,
+                        fine_spacing=args.fine_spacing, fine_n=args.fine_n,
+                        vel_fine_spacing=args.vel_fine_spacing,
+                        zoom_interp=args.zoom_interp)
+    wall = time.time() - t0
+    lla = frames.ecef_to_lla(res.x_ecef[:3])
+    print(f"survey over {res.n_blocks} blocks "
+          f"({res.n_blocks * cfg.T:.1f} s) in {wall:.1f} s")
+    print(f"  position ECEF: {res.x_ecef[0]:.3f} {res.x_ecef[1]:.3f} "
+          f"{res.x_ecef[2]:.3f}  LLA: {lla[0]:.7f} {lla[1]:.7f} "
+          f"{lla[2]:.2f}")
+    print(f"  clock bias {res.x_ecef[3]:.3f} m, drift "
+          f"{res.x_ecef[7]:.4f} m/s at rxTime {res.t_ref:.3f}")
+    print(f"  sigma ENU+clk [m]: "
+          + " ".join(f"{s:.3f}" for s in res.sigma_pos))
+    print(f"  velocity [m/s]: "
+          + " ".join(f"{v:.4f}" for v in res.x_ecef[4:7])
+          + "  sigma ENU+drift: "
+          + " ".join(f"{s:.4f}" for s in res.sigma_vel))
+    if args.out:
+        with FixWriter(args.out, weekno=args.weekno) as w:
+            for f in rx.fixes:
+                w.write(f)
+        print(f"per-batch fixes written: {args.out}")
+    if args.json:
+        payload = {
+            "x_ecef": list(map(float, res.x_ecef)),
+            "lla": list(map(float, lla)),
+            "t_ref": res.t_ref, "n_blocks": res.n_blocks,
+            "n_batches": res.n_batches,
+            "sigma_pos": list(map(float, res.sigma_pos)),
+            "sigma_vel": list(map(float, res.sigma_vel)),
+            "cov_pos": [list(map(float, r)) for r in res.cov_pos],
+            "cov_vel": [list(map(float, r)) for r in res.cov_vel],
+            "pos_score": res.pos_score, "vel_score": res.vel_score,
+            "wall_s": wall,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"survey JSON written: {args.json}")
 
 
 def cmd_vt(args):
@@ -585,6 +661,41 @@ def main(argv=None):
                          "(rc/fi/fc/cp/x/fix/...); ':bin' writes raw f64 "
                          "instead of CSV (per-block modes)")
     pd.set_defaults(fn=cmd_dpe)
+
+    pu = sub.add_parser("survey",
+                        help="multi-epoch joint DPE: one static state "
+                             "estimated against the whole pass")
+    pu.add_argument("file")
+    pu.add_argument("--handoff", required=True)
+    pu.add_argument("--rinex", help="take ephemerides from RINEX")
+    pu.add_argument("--fs", type=float, default=2.5e6)
+    pu.add_argument("--ds", type=float, default=1.0)
+    pu.add_argument("--blocks", type=int, default=1500,
+                    help="total 20 ms blocks to survey over")
+    pu.add_argument("--batch", type=int, default=50,
+                    help="blocks coherently integrated per epoch")
+    pu.add_argument("--grid", default="spread",
+                    choices=["spread", "uniform", "arthur", "dense"],
+                    help="coarse-pass grid (zoom lattices refine it)")
+    pu.add_argument("--fine-spacing", type=float, default=0.25,
+                    help="final zoom lattice spacing [m]")
+    pu.add_argument("--fine-n", type=int, default=33,
+                    help="zoom lattice points per axis (N^4)")
+    pu.add_argument("--vel-fine-spacing", type=float, default=0.02,
+                    help="velocity zoom lattice spacing [m/s]")
+    pu.add_argument("--zoom-interp", choices=["quadratic", "linear", "sinc"],
+                    help="zoom-pass interpolant; sinc = exact bandlimited "
+                         "reconstruction (removes the 3-tap vertex bias "
+                         "from the clock estimate)")
+    pu.add_argument("--mesh", metavar="SPEC",
+                    help="multi-device mesh, e.g. 'grid=8'")
+    pu.add_argument("--out", help="per-batch fix CSV")
+    pu.add_argument("--json", help="survey result JSON")
+    pu.add_argument("--weekno", type=int, default=2008)
+    pu.add_argument("--set", action="append", metavar="KEY=VALUE",
+                    help="DPEConfig overrides (setparam-style)")
+    pu.add_argument("--config", help="JSON file of DPEConfig fields")
+    pu.set_defaults(fn=cmd_survey)
 
     pv = sub.add_parser("vt", help="vector tracking from scalar pull-in")
     pv.add_argument("file")

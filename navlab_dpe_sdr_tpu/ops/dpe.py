@@ -180,11 +180,19 @@ def _interp_weights(idx: jax.Array, w: int, mode: str) -> jax.Array:
     correlation apex, which combined with the integer-snapping of the
     predicted state gives the reference estimator a dead zone around the
     prediction). mode="quadratic": 3-point Lagrange weights through the
-    apex (default; no snap bias).
+    apex (default; no snap bias). mode="sinc": full-window Whittaker
+    reconstruction — the pre-correlation signal is bandlimited below
+    Nyquist, so the taps determine the continuous correlation exactly
+    (up to window truncation); removes the 3-tap vertex bias that any
+    local polynomial inherits at the kinked code apex. Used by the
+    survey zoom passes, where integration has removed the noise that
+    otherwise dominates it.
     """
     k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
     if mode == "linear":
         return jnp.maximum(0.0, 1.0 - jnp.abs(idx[..., None] - k))
+    if mode == "sinc":
+        return jnp.sinc(idx[..., None] - k)
     k0 = jnp.clip(jnp.round(idx), 1.0, w - 2.0)
     d = idx - k0
     srel = k - k0[..., None]                       # integer-valued offsets

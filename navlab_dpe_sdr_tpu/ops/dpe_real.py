@@ -833,3 +833,31 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                              "window)")
         return head, flips, out.code_mag[0], out.carr_mag[0]
     return (head, flips)
+
+
+@functools.partial(jax.jit, static_argnames=("interp", "l_power", "has_r0",
+                                             "mesh", "chunk"))
+def score_joint_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
+                       interp: str = "quadratic", l_power: int = 1,
+                       has_r0: bool = True, mesh=None,
+                       chunk: int = _BATCH_CHUNK):
+    """Multi-epoch joint (max, argmax): one candidate state scored against
+    MANY epochs' integrated windows, each with its own geometry.
+
+    The epoch axis reuses the scorer's block axis: win_mag [B, C, W],
+    los_enu [B, C, 3], centers/coefs/r0 [B, C] — per-epoch satellite
+    LOS/range geometry (satellites move over the pass, so late epochs see
+    rotated manifolds: genuine geometric diversity, not just noise
+    averaging). off3 [G, 3] / off1 [G] are displacements from ONE common
+    reference state; the caller folds each epoch's prediction-to-reference
+    offset (including a linear clock-drift model) into that epoch's
+    `centers`. Returns scalar (best f32, arg i32).
+
+    This is the estimator the reference's per-block fetch architecture
+    cannot express (batchcorrmanifold.cu scores and discards one block's
+    surface per Update); with a mesh it shards over 'grid'/'chan' like
+    every other scoring path.
+    """
+    return _score_axis_accumulate(win_mag, los_enu, centers, coefs,
+                                  r0 if has_r0 else None, off3, off1,
+                                  interp, l_power, chunk=chunk, mesh=mesh)

@@ -54,6 +54,19 @@ def test_cli_dpe_with_native_io(tiny_capture, tmp_path):
     assert xrows.shape == (20, 9)
 
 
+def test_cli_survey(tiny_capture, tmp_path):
+    cap, hand = tiny_capture
+    out = tmp_path / "survey.json"
+    r = _run("survey", str(cap), "--handoff", str(hand), "--blocks", "48",
+             "--batch", "8", "--fine-n", "15", "--json", str(out))
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "sigma ENU+clk" in r.stdout
+    payload = json.loads(out.read_text())
+    assert len(payload["x_ecef"]) == 8
+    assert payload["n_batches"] == 6
+    assert all(s > 0 for s in payload["sigma_pos"])
+
+
 def test_cli_dpe_config_overrides(tiny_capture, tmp_path):
     cap, hand = tiny_capture
     cfg = tmp_path / "cfg.json"

@@ -1,0 +1,104 @@
+"""Multi-epoch joint DPE ("survey" mode): one static position-clock state
+estimated against the whole pass (ops.dpe_real.score_joint_argmax +
+DPEReceiver.run_survey). A capability the reference's per-block fetch
+architecture cannot express (batchcorrmanifold.cu:2502-2635)."""
+
+import copy
+
+import numpy as np
+
+from navlab_dpe_sdr_tpu.constants import C
+from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
+from navlab_dpe_sdr_tpu.libgnss import frames
+from navlab_dpe_sdr_tpu.models.dpe import DPEReceiver
+from navlab_dpe_sdr_tpu.models.grid import spread_grid
+from navlab_dpe_sdr_tpu.ops import dpe_real as dre
+
+FS = 2.5e6
+
+
+def _to_iq(iq):
+    samples = np.empty(iq.shape[0], DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    return samples
+
+
+def test_score_joint_argmax_analytic():
+    """Joint argmax over synthetic parabolic windows with per-epoch
+    geometry: the winning offset must be the one maximizing the summed
+    analytic score, and per-epoch center shifts must steer it exactly."""
+    rng = np.random.default_rng(7)
+    b, c, w = 3, 4, 9
+    los = rng.normal(size=(b, c, 3))
+    los /= np.linalg.norm(los, axis=2, keepdims=True)
+    coefs = np.full((b, c), 0.05)
+    centers = np.full((b, c), (w - 1) / 2.0)
+    # truth offset d* = (2, -1, 3, -2): peak of each window sits at
+    # center + coef * (-los . d* + dt*)
+    d_true = np.array([2.0, -1.0, 3.0])
+    t_true = -2.0
+    peak_at = centers + coefs * (-np.einsum("bci,i->bc", los, d_true)
+                                 + t_true)
+    taps = np.arange(w)
+    win = 10.0 - (taps[None, None, :] - peak_at[..., None]) ** 2
+
+    ax = np.arange(-4, 5, dtype=np.float64)
+    from navlab_dpe_sdr_tpu.models.grid import _mesh4
+    off3, off1 = _mesh4(ax, ax)
+    best, arg = dre.score_joint_argmax(
+        win.astype(np.float32), los.astype(np.float32),
+        centers.astype(np.float32), coefs.astype(np.float32),
+        np.zeros((b, c), np.float32), off3.astype(np.float32),
+        off1.astype(np.float32), has_r0=False)
+    a = int(arg)
+    assert np.allclose(off3[a], d_true), off3[a]
+    assert off1[a] == t_true
+
+    # re-referencing: folding a per-epoch shift into the centers must move
+    # the argmax by exactly that shift
+    dshift = np.array([1.0, 0.0, 2.0])   # keeps d_true - dshift on the grid
+    centers2 = centers + coefs * (-np.einsum("bci,i->bc", los, dshift))
+    _, arg2 = dre.score_joint_argmax(
+        win.astype(np.float32), los.astype(np.float32),
+        centers2.astype(np.float32), coefs.astype(np.float32),
+        np.zeros((b, c), np.float32), off3.astype(np.float32),
+        off1.astype(np.float32), has_r0=False)
+    assert np.allclose(off3[int(arg2)], d_true - dshift), off3[int(arg2)]
+
+
+def test_survey_static_with_clock_drift():
+    """1.3 s survey on a drifting-clock static receiver: the joint estimate
+    must land within the fine lattice on E/N, hold the 3-D error under the
+    per-batch noise, and recover the clock drift."""
+    sim, hand, arr = make_scenario(nav_data=True)
+    drift = 2e-8
+    sim2 = CaptureSimulator(arr, hand.x_ecef, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=45.0, nav_data=True, seed=21,
+                            clock_drift=drift)
+    n_blocks = 64
+    iq = sim2.generate(50000 * n_blocks)
+    rf = SampleFile(samples=_to_iq(iq), fs=FS)
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef[7] = -drift * C        # handoff carries the drift estimate
+    rx = DPEReceiver(rf, hand2, grid=spread_grid(), eph=copy.deepcopy(arr))
+    res = rx.run_survey(n_batches=8, blocks_per_fix=8, fine_n=21)
+
+    truth = hand.x_ecef
+    assert res.n_batches == 8 and res.n_blocks == 64
+    assert len(rx.fixes) == 8           # per-batch fixes still logged
+    r = frames.ecef_to_enu_matrix(truth[0:3])
+    enu = r @ (res.x_ecef[0:3] - truth[0:3])
+    # E/N converge to the fine lattice; U rides the U/clock ridge
+    assert abs(enu[0]) < 1.5 and abs(enu[1]) < 1.5, enu
+    assert np.linalg.norm(enu) < 6.0, enu
+    assert abs(res.x_ecef[7] - (-drift * C)) < 0.5, res.x_ecef[7]
+    # velocity of a static receiver
+    assert np.linalg.norm(res.x_ecef[4:7]) < 0.5, res.x_ecef[4:7]
+    # covariance sane: sigmas positive, U the weakest position axis
+    assert np.all(res.sigma_pos > 0) and np.all(res.sigma_vel > 0)
+    assert res.sigma_pos[2] == max(res.sigma_pos[:3])
+    assert res.cov_pos.shape == (4, 4)
+    assert np.isfinite(res.pos_score) and np.isfinite(res.vel_score)
