@@ -488,13 +488,23 @@ def cmd_sens(args):
                        if k in DPEConfig.__dataclass_fields__})
     levels = [float(v) for v in args.levels.split(",")]
     grid = make_grid(args.grid) if args.grid else None
-    results = mc.cn0_sweep(levels, blocks=args.blocks,
-                           blocks_per_fix=args.k, seed=args.seed,
-                           grid=grid, config=cfg, hold_m=args.hold_m,
-                           coherent=args.coherent, out_path=args.out)
-    held = [pt.cn0_dbhz for pt in results if pt.held]
-    print(f"integrated hold (<{args.hold_m:.0f} m) down to "
-          f"{min(held):.1f} dB-Hz" if held else "no level held")
+    if args.survey:
+        results = mc.weak_sweep(levels, blocks=args.blocks,
+                                blocks_per_fix=args.k, seed=args.seed,
+                                grid=grid, config=cfg, hold_m=args.hold_m,
+                                fine_spacing=args.fine_spacing,
+                                out_path=args.out)
+        held = [pt.cn0_dbhz for pt in results if pt.held]
+        print(f"survey hold (<{args.hold_m:.0f} m) down to "
+              f"{min(held):.1f} dB-Hz" if held else "no level held")
+    else:
+        results = mc.cn0_sweep(levels, blocks=args.blocks,
+                               blocks_per_fix=args.k, seed=args.seed,
+                               grid=grid, config=cfg, hold_m=args.hold_m,
+                               coherent=args.coherent, out_path=args.out)
+        held = [pt.cn0_dbhz for pt in results if pt.held]
+        print(f"integrated hold (<{args.hold_m:.0f} m) down to "
+              f"{min(held):.1f} dB-Hz" if held else "no level held")
     if args.out:
         print(f"wrote {args.out}")
 
@@ -760,6 +770,12 @@ def main(argv=None):
                     help="hold threshold on the integrated median [m]")
     px.add_argument("--coherent", action="store_true",
                     help="also run coherent (bit-aligned) integration")
+    px.add_argument("--survey", action="store_true",
+                    help="weak-signal ladder: open-loop (coast) steering + "
+                         "full-pass noncoherent joint survey estimate vs "
+                         "closed-loop K-block integration")
+    px.add_argument("--fine-spacing", type=float, default=1.0,
+                    help="survey fine-lattice spacing [m] (--survey)")
     px.add_argument("--grid", help="grid preset (default spread)")
     px.add_argument("--seed", type=int, default=7)
     px.add_argument("--out", help="CSV output path")

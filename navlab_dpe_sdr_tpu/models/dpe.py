@@ -1032,7 +1032,8 @@ class DPEReceiver:
 
     def run_integrated(self, n_batches: int, blocks_per_fix: int = 8,
                        raw_blocks_dev=None, start_block: int = 0,
-                       coherent: bool = False, _collect: list | None = None):
+                       coherent: bool = False, _collect: list | None = None,
+                       feedback: bool = True):
         """Integrated DPE: one fix per `blocks_per_fix` blocks with the
         score surfaces accumulated on device (noncoherent integration).
         Trades fix rate for ~sqrt(N) lower score noise — a capability the
@@ -1041,12 +1042,16 @@ class DPEReceiver:
         coherent=True sums the complex correlation windows instead (with
         data-aided nav-bit alignment): equal accuracy at practical C/N0,
         but ONE manifold scoring pass per fix instead of per block — the
-        N x cheaper path for dense-grid integration."""
+        N x cheaper path for dense-grid integration.
+
+        feedback=False (coast / open-loop mode): the per-batch argmax is
+        recorded as a diagnostic fix but NOT applied to the EKF state, so
+        channel steering runs on pure geometric prediction from the
+        initial state. Below ~22 dB-Hz the per-batch argmax is too noisy
+        to steer with — feeding it back corrupts the window centers and
+        the run never recovers; coasting keeps the windows centered for
+        the full-pass survey solve (weak-signal mode)."""
         assert self.cfg.engine == "real"
-        if _collect is not None and not coherent:
-            raise ValueError("window collection (survey mode) requires "
-                             "coherent=True — only the coherent path forms "
-                             "one summed window per batch")
         self._check_batch_mode(raw_blocks_dev, start_block,
                                n_batches * blocks_per_fix)
         prefetch = (_RawPrefetcher(self.rawfile,
@@ -1055,13 +1060,15 @@ class DPEReceiver:
         try:
             return self._run_integrated(n_batches, blocks_per_fix,
                                         raw_blocks_dev, start_block,
-                                        coherent, prefetch, _collect)
+                                        coherent, prefetch, _collect,
+                                        feedback)
         finally:
             if prefetch is not None:
                 prefetch.close()
 
     def _run_integrated(self, n_batches, blocks_per_fix, raw_blocks_dev,
-                        start_block, coherent, prefetch, collect=None):
+                        start_block, coherent, prefetch, collect=None,
+                        feedback=True):
         done = 0
         for _ in range(n_batches):
             n = blocks_per_fix
@@ -1107,7 +1114,20 @@ class DPEReceiver:
             fpk_last, _, r_e2n, rx_time, mc, x_pred = preps[-1]
             code_mag = np.asarray(res[2]) if want_windows else None
             carr_mag = np.asarray(res[3]) if want_windows else None
-            if refine:
+            if not feedback:
+                # coast: record the argmax as a diagnostic fix, leave the
+                # EKF state (and so the channel steering) on prediction
+                z = np.asarray(x_pred, dtype=np.float64).copy()
+                z[0:3] += r_e2n.T @ self.grid.d_enu[pa_i]
+                z[3] += self.grid.dt_m[pa_i]
+                z[4:7] += r_e2n.T @ self.grid.dv_enu[va_i]
+                z[7] += self.grid.dtdot[va_i]
+                self.flip_log.append(flips[-1])
+                self.fixes.append(DPEFix(
+                    mc=mc, rx_time=rx_time,
+                    rx_time_a=rx_time - self.ekf.x[3] / C, x_ecef=z,
+                    pos_score=float(row[1]), vel_score=float(row[3])))
+            elif refine:
                 self._apply_refined(fpk_last, r_e2n, rx_time, mc,
                                     pa_i, va_i,
                                     row[1], row[3], flips[-1],
@@ -1128,7 +1148,9 @@ class DPEReceiver:
                    raw_blocks_dev=None, start_block: int = 0,
                    fine_spacing: float = 0.25, fine_n: int = 33,
                    vel_fine_spacing: float = 0.02,
-                   zoom_interp: str | None = None) -> SurveyResult:
+                   zoom_interp: str | None = None,
+                   coherent: bool = True,
+                   feedback: bool = True) -> SurveyResult:
         """Multi-epoch joint DPE: ONE position-clock state estimated
         against the WHOLE pass (static-receiver survey mode).
 
@@ -1149,6 +1171,16 @@ class DPEReceiver:
         architecture scores and discards one block's surface per Update
         (batchcorrmanifold.cu:2502-2635).
 
+        Weak-signal mode: coherent=False collects NONCOHERENT batch
+        windows (per-block magnitudes summed on the common window frame —
+        no nav-bit alignment needed, which is what breaks the coherent
+        path below ~22 dB-Hz), and feedback=False coasts the channel
+        steering on pure prediction so a noisy per-batch argmax can never
+        corrupt the window centers. The joint solve then integrates the
+        whole pass: full-pass noncoherent gain extends the fix floor far
+        below the per-batch hold (measured: see SENS_WEAK artifact /
+        tests/test_survey.py weak-signal case).
+
         Measured behavior (25 s static capture at 47 dB-Hz, 2.5 MHz): E/N
         converge to the fine-lattice cell (~0.25-0.75 m); the U/clock pair
         rides the classic flat joint ridge (+/-3 m over a 25 s arc — the
@@ -1162,7 +1194,8 @@ class DPEReceiver:
         """
         collect: list = []
         self.run_integrated(n_batches, blocks_per_fix, raw_blocks_dev,
-                            start_block, coherent=True, _collect=collect)
+                            start_block, coherent=coherent,
+                            _collect=collect, feedback=feedback)
         return self._survey_solve(collect, n_batches * blocks_per_fix,
                                   fine_spacing, fine_n, vel_fine_spacing,
                                   zoom_interp)

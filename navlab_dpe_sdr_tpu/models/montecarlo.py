@@ -256,6 +256,90 @@ def cn0_sweep(levels, blocks: int = 32, blocks_per_fix: int = 8,
     return results
 
 
+@dataclass
+class WeakPoint:
+    """One C/N0 level of the weak-signal (coast + survey) ladder."""
+    cn0_dbhz: float
+    integrated_med_m: float = float("nan")  # closed-loop K-block integrated
+    survey_err_m: float = float("nan")      # full-pass joint, coast steering
+    survey_sigma_m: float = float("nan")    # predicted 3-D 1-sigma (joint cov)
+    held: bool = False                      # survey_err_m < hold_m
+
+
+WEAK_HEADER = ["cn0_dbhz", "integrated_med_m", "survey_err_m",
+               "survey_sigma_m", "held"]
+
+
+def weak_sweep(levels, blocks: int = 512, blocks_per_fix: int = 16,
+               seed: int = 7, grid=None, config=None, hold_m: float = 30.0,
+               out_path: str | None = None, fs: float = 2.5e6,
+               fine_spacing: float = 1.0, fine_n: int = 17,
+               vel_fine_spacing: float = 0.05,
+               verbose: bool = True) -> list[WeakPoint]:
+    """Weak-signal ladder: closed-loop K-block integration (the SENS_DEEP
+    estimator) vs the full-pass open-loop survey estimator at each C/N0.
+
+    The survey column is the weak-signal mode: channel steering coasts on
+    pure prediction (feedback=False — below ~22 dB-Hz the per-batch argmax
+    is too noisy to steer with), batch windows integrate noncoherently (no
+    nav-bit decisions), and ONE joint 4-D state is estimated against the
+    whole pass. Full-pass noncoherent gain extends the fix floor far below
+    the per-batch hold — the deep-integration regime the reference's
+    per-block fetch architecture cannot reach (batchcorrmanifold.cu scores
+    and discards one surface per 20 ms Update)."""
+    from ..io.rawfile import DTYPE_IQ16, SampleFile
+    from ..io.scenario import make_scenario
+    from .dpe import DPEReceiver
+    from .grid import spread_grid
+
+    grid = grid or spread_grid()
+    results = []
+    for cn0 in levels:
+        sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=float(cn0),
+                                       seed=seed)
+        n = 50000 * blocks
+        iq = sim.generate(n)
+        samples = np.empty(n, DTYPE_IQ16)
+        samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+        samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+        truth = hand.x_ecef
+        pt = WeakPoint(cn0_dbhz=float(cn0))
+
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
+                         copy.deepcopy(hand), grid=grid, config=config,
+                         eph=copy.deepcopy(arr))
+        rx.run_integrated(blocks // blocks_per_fix, blocks_per_fix)
+        errs = [float(np.linalg.norm(f.x_ecef[0:3] - truth[0:3]))
+                for f in rx.fixes[1:]]
+        pt.integrated_med_m = float(np.median(errs)) if errs else float("nan")
+
+        rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
+                         copy.deepcopy(hand), grid=grid, config=config,
+                         eph=copy.deepcopy(arr))
+        sr = rx.run_survey(blocks // blocks_per_fix, blocks_per_fix,
+                           coherent=False, feedback=False,
+                           fine_spacing=fine_spacing, fine_n=fine_n,
+                           vel_fine_spacing=vel_fine_spacing)
+        pt.survey_err_m = float(np.linalg.norm(sr.x_ecef[0:3] - truth[0:3]))
+        pt.survey_sigma_m = float(np.sqrt(np.sum(sr.sigma_pos[0:3] ** 2)))
+        pt.held = pt.survey_err_m < hold_m
+        results.append(pt)
+        if verbose:
+            print(f"C/N0 {cn0:5.1f} dB-Hz: integrated(K={blocks_per_fix})="
+                  f"{pt.integrated_med_m:7.1f} m  survey({blocks} blk)="
+                  f"{pt.survey_err_m:7.1f} m (sigma {pt.survey_sigma_m:.1f})"
+                  f"  {'HELD' if pt.held else 'lost'}")
+    if out_path:
+        with open(out_path, "w", newline="") as fo:
+            w = csv.writer(fo)
+            w.writerow(WEAK_HEADER)
+            for pt in results:
+                w.writerow([pt.cn0_dbhz, round(pt.integrated_med_m, 2),
+                            round(pt.survey_err_m, 2),
+                            round(pt.survey_sigma_m, 2), int(pt.held)])
+    return results
+
+
 def write_shift_file(path: str, results: list[MCRun]):
     """Shift/summary CSV (reference shiftFile, main.cu:135-206)."""
     with open(path, "w", newline="") as fo:

@@ -823,15 +823,18 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                       jax.lax.bitcast_convert_type(va.astype(jnp.int32),
                                                    jnp.float32), vb])
     if return_windows:
-        # the integrated window magnitudes (coherent: the |sum|; the
-        # per-block preps re-anchor the window centers so the summed
-        # window is interpretable with the LAST block's params) — for the
-        # host-side sub-grid Newton polish
-        if not coherent:
-            raise ValueError("return_windows requires coherent=True (the "
-                             "noncoherent path never forms one summed "
-                             "window)")
-        return head, flips, out.code_mag[0], out.carr_mag[0]
+        # the integrated window magnitudes, interpretable with the LAST
+        # block's params (the per-block preps re-anchor the window centers,
+        # so every block's window puts its peak at the same in-window
+        # offset to sub-tap accuracy). Coherent: |complex sum| ([1, C, W]
+        # already). Noncoherent: sum of per-block magnitudes — the same
+        # surface the argmax above integrates, collapsed onto the common
+        # window frame. Consumers: the host-side Newton polish and the
+        # multi-epoch survey solve (weak-signal mode collects NONCOHERENT
+        # batch windows, since data-aided bit alignment breaks below
+        # ~22 dB-Hz while magnitude integration never needs the bits).
+        return (head, flips, jnp.sum(out.code_mag, axis=0),
+                jnp.sum(out.carr_mag, axis=0))
     return (head, flips)
 
 

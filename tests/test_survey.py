@@ -69,6 +69,33 @@ def test_score_joint_argmax_analytic():
     assert np.allclose(off3[int(arg2)], d_true - dshift), off3[int(arg2)]
 
 
+def test_survey_weak_signal_coast():
+    """Weak-signal mode: at a C/N0 where the per-batch argmax is noise
+    (tens-to-hundreds of meters), open-loop (coast) steering + noncoherent
+    window collection + the full-pass joint solve must still produce a
+    bounded fix. 30 dB-Hz / 48 blocks: per-block error is ~80 m (SENS
+    ladder), the joint estimate integrates the whole pass."""
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0, seed=11)
+    n_blocks = 48
+    iq = sim.generate(50000 * n_blocks)
+    rf = SampleFile(samples=_to_iq(iq), fs=FS)
+    rx = DPEReceiver(rf, copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    res = rx.run_survey(n_batches=6, blocks_per_fix=8, fine_n=13,
+                        fine_spacing=1.0, vel_fine_spacing=0.05,
+                        coherent=False, feedback=False)
+
+    truth = hand.x_ecef
+    assert len(rx.fixes) == 6            # coast still logs diagnostic fixes
+    err3 = float(np.linalg.norm(res.x_ecef[0:3] - truth[0:3]))
+    assert err3 < 30.0, err3
+    # coast means the EKF state never moved off the handoff prediction
+    assert np.allclose(rx.ekf.x, hand.x_ecef)
+    # velocity of a static receiver still bounded at low C/N0
+    assert np.linalg.norm(res.x_ecef[4:7]) < 2.0, res.x_ecef[4:7]
+    assert np.all(res.sigma_pos > 0)
+
+
 def test_survey_static_with_clock_drift():
     """1.3 s survey on a drifting-clock static receiver: the joint estimate
     must land within the fine lattice on E/N, hold the 3-D error under the
