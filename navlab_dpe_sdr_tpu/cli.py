@@ -59,11 +59,16 @@ def cmd_acquire(args):
 
     rf = SampleFile(args.file, fs=args.fs, ds=args.ds)
     rf.seek(int(args.skip * args.fs))
-    rf.set_block(0.01, 0.01, verbose=False)
+    read_ms = args.deep_ms if args.deep_ms else 10
+    rf.set_block(read_ms * 1e-3, read_ms * 1e-3, verbose=False)
     block = rf.read_block()
     prns = ([int(p) for p in args.prns.split(",")] if args.prns
             else list(range(1, 33)))
-    if args.engine == "real":
+    if args.deep_ms:
+        from .ops.acquisition_real import acquire_real
+        results = acquire_real(block, prns, rf.fs, rf.fcaid,
+                               n_coh_ms=args.coh_ms)
+    elif args.engine == "real":
         from .ops.acquisition_real import acquire_real
         results = acquire_real(block, prns, rf.fs, rf.fcaid,
                                coherent=not args.noncoherent)
@@ -587,6 +592,12 @@ def main(argv=None):
     pa.add_argument("--skip", type=float, default=0.0, help="seconds to skip")
     pa.add_argument("--prns", help="comma list; default 1-32")
     pa.add_argument("--noncoherent", action="store_true")
+    pa.add_argument("--deep-ms", type=int, default=0, metavar="MS",
+                    help="deep (weak-signal) acquisition over MS of "
+                         "capture: coherent folds of --coh-ms summed "
+                         "noncoherently (real engine)")
+    pa.add_argument("--coh-ms", type=int, default=10,
+                    help="coherent fold length for --deep-ms [ms]")
     pa.add_argument("--engine", choices=["fft", "real"], default="fft",
                     help="real = all-real TPU-safe search")
     pa.set_defaults(fn=cmd_acquire)

@@ -63,18 +63,47 @@ class ScalarReceiver:
     # -- acquisition -------------------------------------------------------
 
     def acquire(self, T: float = 0.01, verbose: bool = True,
-                engine: str = "auto"):
+                engine: str = "auto", deep_ms: int = 0, n_coh_ms: int = 10):
         """Best-of-two-blocks acquisition (reference receiver.py:452-520).
 
         engine="real" is the all-real TPU-safe search
         (ops.acquisition_real); "fft" needs complex64 + gather (CPU/GPU);
-        "auto" picks by backend."""
+        "auto" picks by backend.
+
+        deep_ms > 0 switches to deep (weak-signal) acquisition: ONE
+        deep_ms-long capture searched with n_coh_ms coherent folds summed
+        noncoherently across segments (real engine only — the reference's
+        10 ms best-of search, correlator.py:53-103, has no deep mode).
+        E.g. deep_ms=400, n_coh_ms=10 acquires ~10 dB below the nominal
+        search floor."""
         if engine == "auto":
             import jax
-            engine = "real" if jax.default_backend() == "tpu" else "fft"
+            engine = ("real" if deep_ms
+                      or jax.default_backend() == "tpu" else "fft")
         rf = self.rawfile
         s_per = int(round(T * rf.fs))
         start_pos = rf.sample_pos
+
+        if deep_ms:
+            from ..ops.acquisition_real import acquire_real as _acq
+            rf.set_block(deep_ms * 1e-3, deep_ms * 1e-3, verbose=False)
+            block = rf.read_block().astype(np.complex64)
+            rf.seek(start_pos, whence=0)
+            rf.set_block(T_CA, T_CA, verbose=False)
+            results = _acq(block, self.prn_list, rf.fs, rf.fcaid,
+                           n_coh_ms=n_coh_ms)
+            rc = [r.rc for r in results]
+            ri = [r.ri for r in results]
+            fc = [r.fc for r in results]
+            fi = [r.fi for r in results]
+            if verbose:
+                for r in results:
+                    print(f"PRN {r.prn:2d} found={r.found} rc={r.rc:8.2f} "
+                          f"fi={r.fi:8.1f} cppm={r.cppm:5.2f} "
+                          f"(deep {deep_ms} ms / {n_coh_ms} ms coh)")
+            self.state = trk_ops.init_state(rc=rc, ri=ri, fc=fc, fi=fi)
+            return results
+
         rf.set_block(T, T, verbose=False)
         block1 = rf.read_block().astype(np.complex64)
         block2 = rf.read_block().astype(np.complex64)

@@ -91,3 +91,34 @@ def test_acquire_real_absent_prn():
                        seed=4)
     r = acquire_real(sig, [21], FS, fcaid=F_CA / 1.57542e9)[0]
     assert not r.found
+
+
+def test_deep_acquisition_weak_signal():
+    """Deep (segmented coherent x noncoherent) acquisition: at 27 dB-Hz a
+    single 10 ms search misses, 200 ms of noncoherent accumulation over
+    10 ms coherent folds recovers code phase and Doppler. Capability
+    beyond the reference's best-of-two 10 ms search (correlator.py:53-103)."""
+    from navlab_dpe_sdr_tpu.ops.acquisition_real import acquire_real
+    rc_true, fi_true = 512.25, 1750.0
+    cn0 = 27.0
+    fcaid = F_CA / 1.57542e9
+    sig = synth_simple(7, FS, 25000 * 20, rc=rc_true, ri=0.42, fi=fi_true,
+                       cn0_dbhz=cn0, seed=9)
+    dopplers = np.arange(-50, 51) * 50.0      # +/-2.5 kHz at T_coh=10 ms
+
+    shallow = acquire_real(sig[:25000], [7], FS, fcaid=fcaid)[0]
+    d_shallow = abs((shallow.rc - rc_true + L_CA / 2) % L_CA - L_CA / 2)
+    assert not shallow.found or d_shallow > 0.6, \
+        "10 ms search unexpectedly succeeded at 27 dB-Hz; lower cn0"
+
+    deep = acquire_real(sig, [7], FS, fcaid=fcaid, dopplers=dopplers,
+                        n_coh_ms=10)[0]
+    assert deep.found, f"cppm={deep.cppm:.2f}"
+    d = abs((deep.rc - rc_true + L_CA / 2) % L_CA - L_CA / 2)
+    assert d < 0.6, f"rc {deep.rc} vs {rc_true}"
+    assert abs(deep.fi - fi_true) < 30.0, deep.fi
+
+    # absent PRN must stay below threshold in deep mode too
+    miss = acquire_real(sig, [21], FS, fcaid=fcaid, dopplers=dopplers,
+                        n_coh_ms=10)[0]
+    assert not miss.found, f"cppm={miss.cppm:.2f}"
