@@ -85,10 +85,27 @@ def _period_replicas(chips, rc_mid, period: int):
     frac_rc = rc_mid - jnp.floor(rc_mid)                  # [C]
     chips2 = jnp.concatenate([chips, chips], axis=1)      # [C, 2*1023]
 
-    def roll_one(row, st):
-        return jax.lax.dynamic_slice(row, (st,), (l_ca,))
-
-    rolled = jax.vmap(roll_one)(chips2, jnp.mod(shift, l_ca))   # [C, 1023]
+    # circular roll by `shift` via a two-stage one-hot contraction instead
+    # of a vmapped dynamic_slice: slicing a SHARED operand with per-example
+    # starts lowers to a gather, which this TPU runtime emulates ~100x
+    # slower than the equivalent [32]-wide selects (measured 6.9 ms vs
+    # 0.1 ms per 50-block batch). shift = 32*a + b; stage b is 32 static
+    # slices of the chips (loop-invariant, hoisted), stage a 32 static
+    # slices of the per-block intermediate.
+    sh = jnp.mod(shift, l_ca)
+    sh_a, sh_b = sh // 32, sh % 32
+    n_sub = 32
+    ext_b = jnp.stack([chips2[:, b:b + l_ca + (n_sub - 1) * 32]
+                       for b in range(n_sub)], axis=1)    # [C, 32, 2015]
+    bi = jax.lax.broadcasted_iota(jnp.int32, (1, n_sub), 1)
+    oh_b = (bi == sh_b[:, None]).astype(jnp.float32)      # [C, 32]
+    y = jnp.einsum("cb,cbj->cj", oh_b, ext_b,
+                   preferred_element_type=jnp.float32)    # [C, 2015]
+    ext_a = jnp.stack([y[:, 32 * a:32 * a + l_ca]
+                       for a in range(n_sub)], axis=1)    # [C, 32, 1023]
+    oh_a = (bi == sh_a[:, None]).astype(jnp.float32)
+    rolled = jnp.einsum("ca,caj->cj", oh_a, ext_a,
+                        preferred_element_type=jnp.float32)  # [C, 1023]
     r0 = jnp.einsum("pk,ck->cp", e0, rolled,
                     preferred_element_type=jnp.float32)   # [C, P0]
     r1 = jnp.einsum("pk,ck->cp", e1, rolled,
@@ -156,20 +173,16 @@ class RealBlockOutC(NamedTuple):
 @functools.partial(jax.jit,
                    static_argnames=("carr_fftpts", "period", "n_periods",
                                     "code_win", "carr_win", "complex_out"))
-def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
-                       fi, ri, time_idc, pos_start, vel_start,
-                       carr_fftpts: int, period: int, n_periods: int,
-                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
-                       complex_out: bool = False):
-    """Windowed code correlation + windowed carrier DFT (all-real).
-
-    raw_re/raw_im: [S]; chips: [C, 1023]; base0: [period] nominal chip
-    indices; rc_mid: [C] mid-block code phase; idx_next: [C] nav-bit flip
-    sample (S for none); fi/ri: [C]; pos_start/vel_start: [C] window origins
-    (fftshifted index space). code_win/carr_win: window widths — sized to
-    the grid via ops.dpe.auto_windows (weight-tensor traffic ~ width).
-    complex_out keeps the window re/im parts (RealBlockOutC) so blocks can
-    be summed coherently before the magnitude.
+def _windowed_correlate_direct(raw_re, raw_im, chips, base0, rc_mid, idx_next,
+                               fi, ri, time_idc, pos_start, vel_start,
+                               carr_fftpts: int, period: int, n_periods: int,
+                               code_win: int = CODE_WIN,
+                               carr_win: int = CARR_WIN,
+                               complex_out: bool = False):
+    """Direct (unfactorized) windowed correlator — the straightforward
+    form: carrier-wipe the full [C, S] baseband, fold, correlate. Kept as
+    the equivalence oracle for `windowed_correlate`, whose period-factorized
+    carrier algebra is ~5x cheaper but less obviously correct.
     """
     s = raw_re.shape[0]
     c = chips.shape[0]
@@ -296,6 +309,270 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
             - jnp.einsum("cws,cst->cwt", a_sin, y_re_p,
                          preferred_element_type=jnp.float32))
     # stage 2: X[c, w] = sum_s0 Z[c, w, s0] * e^{-i ang_b(w, s0)}
+    x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
+    x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
+    if complex_out:
+        return RealBlockOutC(code_re=w_re, code_im=w_im,
+                             carr_re=x_re, carr_im=x_im, flip_used=use_flip)
+    carr_mag = jnp.sqrt(x_re * x_re + x_im * x_im)
+
+    return RealBlockOut(code_mag=code_mag, carr_mag=carr_mag,
+                        flip_used=use_flip)
+
+
+def _dft_twiddles_mixed(vel_start, fi, ri, dt_s, f_total: int, s1_n: int,
+                        s0_n: int, carr_win: int):
+    """Two-stage carrier-DFT twiddles with the wipeoff folded in.
+
+    Combined phase per sample: the integer-exact window-bin phase
+    2*pi*(k*s mod F)/F (as _dft_twiddles) PLUS the carrier-wipeoff phase
+    2*pi*(fi*s*dt + ri), split over s = s0_n*s1 + s0 (ri rides stage b).
+    Folding the wipeoff into the [C, W, s1]/[C, W, s0] twiddle tables
+    removes the [C, S] cos/sin + complex rotation from the hot path — the
+    correlator's dominant elementwise cost.
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, carr_win), 1)
+    k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2),
+                np.int32(f_total))                        # [C, W]
+    two_pi = np.float32(2.0 * np.pi)
+
+    s1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s1_n), 2)
+    k256 = jnp.mod(k * np.int32(s0_n), np.int32(f_total))  # [C, W]
+    ph_a = jnp.mod(k256[:, :, None] * s1, np.int32(f_total)).astype(jnp.float32)
+    t_a = (s1.astype(jnp.float32) * np.float32(s0_n)) * dt_s
+    ang_a = (ph_a * np.float32(2.0 * np.pi / f_total)
+             + two_pi * fi[:, None, None] * t_a)
+
+    s0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s0_n), 2)
+    ph_b = jnp.mod(k[:, :, None] * s0, np.int32(f_total)).astype(jnp.float32)
+    t_b = s0.astype(jnp.float32) * dt_s
+    ang_b = (ph_b * np.float32(2.0 * np.pi / f_total)
+             + two_pi * (fi[:, None, None] * t_b + ri[:, None, None]))
+    return (jnp.cos(ang_a), jnp.sin(ang_a), jnp.cos(ang_b), jnp.sin(ang_b))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("carr_fftpts", "period", "n_periods",
+                                    "code_win", "carr_win", "complex_out"))
+def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
+                       fi, ri, time_idc, pos_start, vel_start,
+                       carr_fftpts: int, period: int, n_periods: int,
+                       code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
+                       complex_out: bool = False):
+    """Windowed code correlation + windowed carrier DFT (all-real,
+    period-factorized).
+
+    raw_re/raw_im: [S]; chips: [C, 1023]; base0: [period] nominal chip
+    indices; rc_mid: [C] mid-block code phase; idx_next: [C] nav-bit flip
+    sample (S for none); fi/ri: [C]; pos_start/vel_start: [C] window origins
+    (fftshifted index space). code_win/carr_win: window widths — sized to
+    the grid via ops.dpe.auto_windows. complex_out keeps the window re/im
+    parts (RealBlockOutC) so blocks can be summed coherently.
+
+    The correlator exploits ang(s) = A(p) + B(tau) for s = p*P0 + tau
+    (the carrier phase is affine in time): the code fold over periods
+    becomes a [C, n_periods] complex-weighted contraction of the SHARED
+    [n_periods, P0] raw reshape followed by one [C, P0] rotation, the
+    nav-bit tail fold the same with masked weights plus one exact
+    boundary-period term, the lag-0 flip decision reads off the folds, and
+    the carrier wipeoff folds into the two-stage DFT twiddles
+    (_dft_twiddles_mixed). No [C, S]-sized trig or complex rotation
+    remains — the only full-length work is the code wipeoff product
+    feeding the carrier DFT. Equivalence to the direct form
+    (_windowed_correlate_direct) is tested to f32 reassociation noise
+    (tests/test_dpe_real.py)."""
+    s = raw_re.shape[0]
+    c = chips.shape[0]
+    two_pi = np.float32(2.0 * np.pi)
+
+    # one-period replicas (base0 retained in the signature for API
+    # stability; the lookup tables are compile-time constants of `period`)
+    del base0
+    p_repl = _period_replicas(chips, rc_mid, period)        # [C, P0]
+
+    # per-period carrier factorization: ang(s) = A(p) + B(tau)
+    tt = time_idc[: n_periods * period].reshape(n_periods, period)
+    t_p = tt[:, 0]                                          # [P]
+    t_tau = tt[0]                                           # [P0]
+    ang_a = two_pi * fi[:, None] * t_p[None, :]             # [C, P]
+    ca_, sa_ = jnp.cos(ang_a), jnp.sin(ang_a)
+    ang_b = two_pi * (fi[:, None] * t_tau[None, :] + ri[:, None])
+    cb_, sb_ = jnp.cos(ang_b), jnp.sin(ang_b)               # [C, P0]
+
+    raw_p = raw_re.reshape(n_periods, period)               # shared
+    raw_ip = raw_im.reshape(n_periods, period)
+
+    # tail membership by period: periods strictly after the boundary
+    # period p_b flip whole; p_b itself flips from sample offset r_off
+    p_b = idx_next // np.int32(period)                      # [C]
+    r_off = idx_next - p_b * np.int32(period)               # [C]
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_periods), 1)
+    maskp = (p_idx > p_b[:, None]).astype(jnp.float32)      # [C, P]
+
+    # folds: sum_p raw(p,tau) e^{-iA_p} (plain + tail-masked) in one pair
+    # of [4C, P] x [P, P0] contractions over the shared raw reshape
+    wts = jnp.concatenate([ca_, sa_, ca_ * maskp, sa_ * maskp], axis=0)
+    fr = jnp.einsum("kp,pt->kt", wts, raw_p,
+                    preferred_element_type=jnp.float32)     # [4C, P0]
+    fq = jnp.einsum("kp,pt->kt", wts, raw_ip,
+                    preferred_element_type=jnp.float32)
+    rs_re = fr[0:c] + fq[c:2 * c]                           # [C, P0]
+    rs_im = fq[0:c] - fr[c:2 * c]
+    ts_re = fr[2 * c:3 * c] + fq[3 * c:4 * c]
+    ts_im = fq[2 * c:3 * c] - fr[3 * c:4 * c]
+
+    # exact boundary-period tail term: step(tau >= r_off) * raw(p_b, tau)
+    p_bc = jnp.clip(p_b, 0, n_periods - 1)
+    valid = ((p_b >= 0) & (p_b < n_periods)).astype(jnp.float32)
+
+    def row_at(mat, st):
+        return jax.lax.dynamic_slice(mat, (st, 0), (1, mat.shape[1]))[0]
+
+    raw_b_re = jax.vmap(row_at, in_axes=(None, 0))(raw_p, p_bc)   # [C, P0]
+    raw_b_im = jax.vmap(row_at, in_axes=(None, 0))(raw_ip, p_bc)
+
+    def at_p(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (1,))[0]
+
+    ca_b = jax.vmap(at_p)(ca_, p_bc)                        # [C]
+    sa_b = jax.vmap(at_p)(sa_, p_bc)
+    tau_idx = jax.lax.broadcasted_iota(jnp.int32, (1, period), 1)
+    gmask = valid[:, None] * (tau_idx >= r_off[:, None]).astype(jnp.float32)
+    ts_re = ts_re + gmask * (ca_b[:, None] * raw_b_re
+                             + sa_b[:, None] * raw_b_im)
+    ts_im = ts_im + gmask * (ca_b[:, None] * raw_b_im
+                             - sa_b[:, None] * raw_b_re)
+
+    # rotate by e^{-iB(tau)}: the folded baseband and its tail part
+    fold_re = rs_re * cb_ + rs_im * sb_
+    fold_im = rs_im * cb_ - rs_re * sb_
+    fold_tail_re = ts_re * cb_ + ts_im * sb_
+    fold_tail_im = ts_im * cb_ - ts_re * sb_
+
+    # window lags: m_w = m0 + w is CONSECUTIVE in w, so the W lag rows are
+    # consecutive shifts of one periodic slice — one dynamic slice per
+    # channel + W static shifts, instead of W vmapped dynamic slices per
+    # channel (each lowers to a slow emulated gather on this runtime;
+    # measured ~1 ms per lag per 50-block batch)
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, code_win), 1)
+    m0 = pos_start - np.int32(s // 2)                       # [C] first lag
+    m_signed = m0[:, None] + l                              # [C, W]
+    st_last = jnp.mod(np.int32(period) - m0 - np.int32(code_win - 1),
+                      np.int32(period))                     # [C]
+    repl_ext = jnp.concatenate([p_repl, p_repl, p_repl[:, :code_win]],
+                               axis=1)                      # [C, 2*P0+W]
+
+    def sl_ext(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (period + code_win - 1,))
+
+    ext = jax.vmap(sl_ext)(repl_ext, st_last)               # [C, P0+W-1]
+    lag = jnp.stack([ext[:, code_win - 1 - w: code_win - 1 - w + period]
+                     for w in range(code_win)], axis=1)     # [C, W, P0]
+
+    def corr_with(frr, fii):
+        re = jnp.einsum("cwp,cp->cw", lag, frr,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("cwp,cp->cw", lag, fii,
+                        preferred_element_type=jnp.float32)
+        return re, im
+
+    nf_re, nf_im = corr_with(fold_re, fold_im)              # no-flip window
+    t_re, t_im = corr_with(fold_tail_re, fold_tail_im)      # tail part
+
+    # boundary-arc correction (identical to the direct form): the flip
+    # boundary in replica coordinates shifts by the lag m; handle the
+    # +/- _SLIVER samples around idx_next exactly. The baseband is
+    # rebuilt over the sliver only ([C, _SLIVER]).
+    half = _SLIVER // 2
+    sl_start = jnp.clip(idx_next - half, 0, s - _SLIVER)    # [C]
+
+    def slice_c(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (_SLIVER,))
+
+    raw_sl_re = jax.vmap(slice_c, in_axes=(None, 0))(raw_re, sl_start)
+    raw_sl_im = jax.vmap(slice_c, in_axes=(None, 0))(raw_im, sl_start)
+    # sliver sample times arithmetically (slicing the shared time_idc with
+    # per-channel starts would lower to an emulated gather; f32(s)*dt
+    # matches time_idc's own arange/fs rounding class)
+    dt_s0 = time_idc[1] - time_idc[0]
+    j_sl = jax.lax.broadcasted_iota(jnp.int32, (1, _SLIVER), 1)
+    t_sl = (sl_start[:, None] + j_sl).astype(jnp.float32) * dt_s0
+    ang_sl = two_pi * (fi[:, None] * t_sl + ri[:, None])    # [C, SLIVER]
+    wc_sl, ws_sl = jnp.cos(ang_sl), jnp.sin(ang_sl)
+    sliver_re = raw_sl_re * wc_sl + raw_sl_im * ws_sl
+    sliver_im = raw_sl_im * wc_sl - raw_sl_re * ws_sl
+    sliver_pos = sl_start[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, _SLIVER), 1)                         # [C, SLIVER]
+
+    in_tail_m = (sliver_pos[:, None, :]
+                 >= (idx_next[:, None] + m_signed)[:, :, None])  # [C, W, SL]
+    in_tail_0 = (sliver_pos >= idx_next[:, None])           # [C, SL]
+    delta = in_tail_m.astype(jnp.float32) - in_tail_0[:, None, :]
+
+    # same consecutive-lag trick for the sliver's lag-shifted replicas:
+    # sl_q0(w) = mod(sl_start - m0 - w, P0) — one slice + W static shifts
+    st2_last = jnp.mod(sl_start - m0 - np.int32(code_win - 1), period)
+    repl_ext2 = jnp.concatenate(
+        [p_repl, p_repl[:, :_SLIVER + code_win]], axis=1)
+
+    def sl_ext2(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (_SLIVER + code_win - 1,))
+
+    ext2 = jax.vmap(sl_ext2)(repl_ext2, st2_last)           # [C, SL+W-1]
+    sliver_repl_m = jnp.stack(
+        [ext2[:, code_win - 1 - w: code_win - 1 - w + _SLIVER]
+         for w in range(code_win)], axis=1)                 # [C, W, SLIVER]
+    corr_t_re = t_re + jnp.sum(
+        delta * sliver_re[:, None, :] * sliver_repl_m, axis=2)
+    corr_t_im = t_im + jnp.sum(
+        delta * sliver_im[:, None, :] * sliver_repl_m, axis=2)
+
+    fl_re = nf_re - 2.0 * corr_t_re                         # flip window
+    fl_im = nf_im - 2.0 * corr_t_im
+
+    # flip decision at lag 0 (reference: |corr[0]|, correlator.py:410) —
+    # read off the folds: sum_s bb*repl = sum_tau p_repl*fold_bb, and the
+    # tail part likewise (both exact at lag 0; no full-S pass)
+    c0nf_re = jnp.sum(p_repl * fold_re, axis=1)
+    c0nf_im = jnp.sum(p_repl * fold_im, axis=1)
+    c0t_re = jnp.sum(p_repl * fold_tail_re, axis=1)
+    c0t_im = jnp.sum(p_repl * fold_tail_im, axis=1)
+    c0fl_re = c0nf_re - 2.0 * c0t_re
+    c0fl_im = c0nf_im - 2.0 * c0t_im
+    use_flip = (c0fl_re ** 2 + c0fl_im ** 2) > (c0nf_re ** 2 + c0nf_im ** 2)
+
+    w_re = jnp.where(use_flip[:, None], fl_re, nf_re)
+    w_im = jnp.where(use_flip[:, None], fl_im, nf_im)
+    if not complex_out:
+        code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
+
+    # ---- carrier windowed DFT (wipeoff folded into the twiddles) --------
+    repl = jnp.tile(p_repl, (1, n_periods))                 # [C, S]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    flip_sign = 1.0 - 2.0 * (cols >= idx_next[:, None]).astype(jnp.float32)
+    repl_chosen = jnp.where(use_flip[:, None], repl * flip_sign, repl)
+    mean_re = jnp.mean(raw_re)
+    mean_im = jnp.mean(raw_im)
+    yb_re = (raw_re[None, :] - mean_re) * repl_chosen       # [C, S]
+    yb_im = (raw_im[None, :] - mean_im) * repl_chosen
+
+    s0_n = 256
+    s1_n = -(-s // s0_n)
+    pad = s1_n * s0_n - s
+    yb_re_p = jnp.pad(yb_re, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+    yb_im_p = jnp.pad(yb_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+
+    dt_s = time_idc[1] - time_idc[0]
+    a_cos, a_sin, b_cos, b_sin = _dft_twiddles_mixed(
+        vel_start, fi, ri, dt_s, carr_fftpts, s1_n, s0_n, carr_win)
+    z_re = (jnp.einsum("cws,cst->cwt", a_cos, yb_re_p,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("cws,cst->cwt", a_sin, yb_im_p,
+                         preferred_element_type=jnp.float32))
+    z_im = (jnp.einsum("cws,cst->cwt", a_cos, yb_im_p,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("cws,cst->cwt", a_sin, yb_re_p,
+                         preferred_element_type=jnp.float32))
     x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
     x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
     if complex_out:
