@@ -156,26 +156,28 @@ CHUNK_TILE = 2048
 
 def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
                   w_real: int, quad_range: bool, l_power: int):
+    # Mosaic wants >=2-D vectors throughout: every intermediate here is
+    # [1, TILE] or [Wp, TILE]; nothing is ever rank-1 (a rank-1 iota /
+    # vector fails TPU lowering — see round-2 advisor finding).
     cand = cand_ref[:]                      # [8, TILE]
     win = win_ref[0]                        # [Wp, C] (taps on sublanes)
     par = par_ref[0]                        # [8, C]
     wp = win.shape[0]
     tile = cand.shape[1]
 
-    d2 = (cand[0] * cand[0] + cand[1] * cand[1]
-          + cand[2] * cand[2])              # [TILE]
-    dt = cand[3]
+    c0, c1, c2 = cand[0:1], cand[1:2], cand[2:3]         # [1, TILE]
+    d2 = c0 * c0 + c1 * c1 + c2 * c2
+    dt = cand[3:4]
 
-    acc = jnp.zeros((tile,), jnp.float32)
+    acc = jnp.zeros((1, tile), jnp.float32)
     kk = jax.lax.broadcasted_iota(jnp.float32, (wp, tile), 0)
     for c in range(n_chan):
-        u = (par[0, c] * cand[0] + par[1, c] * cand[1]
-             + par[2, c] * cand[2])         # [TILE]
+        u = par[0, c] * c0 + par[1, c] * c1 + par[2, c] * c2  # [1, TILE]
         if quad_range:
             drange = -u + (d2 - u * u) * (0.5 / par[3, c])
         else:
             drange = -u
-        idx = par[4, c] + par[5, c] * (drange + dt)    # [TILE]
+        idx = par[4, c] + par[5, c] * (drange + dt)      # [1, TILE]
 
         # 3-tap quadratic weights about k0 = round(idx) (same difference
         # equations as ops.dpe_real._score_chunk)
@@ -185,16 +187,17 @@ def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
         w_m1 = 0.5 * (d2_ - d)
         w_0 = 1.0 - d2_
         w_p1 = 0.5 * (d2_ + d)
-        srel = kk - k0[None, :]             # [Wp, TILE]
-        wgt = (jnp.where(srel == -1.0, w_m1[None, :], 0.0)
-               + jnp.where(srel == 0.0, w_0[None, :], 0.0)
-               + jnp.where(srel == 1.0, w_p1[None, :], 0.0))
-        vals = jnp.sum(win[:, c][:, None] * wgt, axis=0)   # [TILE]
+        srel = kk - k0                      # [Wp, TILE] (bcast over rows)
+        wgt = (jnp.where(srel == -1.0, w_m1, 0.0)
+               + jnp.where(srel == 0.0, w_0, 0.0)
+               + jnp.where(srel == 1.0, w_p1, 0.0))      # [Wp, TILE]
+        vals = jnp.sum(win[:, c:c + 1] * wgt, axis=0,
+                       keepdims=True)       # [1, TILE]
         if l_power == 1:
             acc = acc + vals
         else:
             acc = acc + vals ** l_power
-    out_ref[0, :] = acc
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("quad_range", "l_power",
@@ -230,6 +233,11 @@ def score_chunk_pallas(win_mag: jax.Array, los_enu: jax.Array,
                      jnp.zeros((c, n), jnp.float32)], axis=0)
     par = jnp.transpose(par, (2, 0, 1))                     # [N, 8, C]
 
+    # Output is [n, 1, Gp] with (1, 1, CHUNK_TILE) blocks: Mosaic requires
+    # the trailing two block dims to be (8k, 128k) or equal to the array
+    # dims — the middle dim of size 1 satisfies "equal", the lane dim is
+    # 128-divisible. (A 2-D [n, Gp] output with (1, CHUNK_TILE) blocks is
+    # rejected for n not in {1, 8k} — round-2 advisor finding.)
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, n_chan=c, w_real=w,
                           quad_range=quad_range, l_power=l_power),
@@ -242,9 +250,10 @@ def score_chunk_pallas(win_mag: jax.Array, los_enu: jax.Array,
             pl.BlockSpec((1, 8, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK_TILE), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles * CHUNK_TILE),
+        out_specs=pl.BlockSpec((1, 1, CHUNK_TILE), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1, n_tiles * CHUNK_TILE),
                                        jnp.float32),
         interpret=interpret,
     )(cand, win_t, par)
-    return out[:, :g]
+    return out[:, 0, :g]
