@@ -321,12 +321,14 @@ def _windowed_correlate_direct(raw_re, raw_im, chips, base0, rc_mid, idx_next,
 
 
 def _dft_twiddles_mixed(vel_start, fi, ri, dt_s, f_total: int, s1_n: int,
-                        s0_n: int, carr_win: int):
+                        s0_n: int, carr_win: int, t0=0.0):
     """Two-stage carrier-DFT twiddles with the wipeoff folded in.
 
     Combined phase per sample: the integer-exact window-bin phase
     2*pi*(k*s mod F)/F (as _dft_twiddles) PLUS the carrier-wipeoff phase
-    2*pi*(fi*s*dt + ri), split over s = s0_n*s1 + s0 (ri rides stage b).
+    2*pi*(fi*(t0 + s*dt) + ri), split over s = s0_n*s1 + s0 (ri and the
+    time origin t0 = time_idc[0] ride stage b — matches the direct form's
+    wipeoff over an arbitrary affine time vector).
     Folding the wipeoff into the [C, W, s1]/[C, W, s0] twiddle tables
     removes the [C, S] cos/sin + complex rotation from the hot path — the
     correlator's dominant elementwise cost.
@@ -345,7 +347,7 @@ def _dft_twiddles_mixed(vel_start, fi, ri, dt_s, f_total: int, s1_n: int,
 
     s0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s0_n), 2)
     ph_b = jnp.mod(k[:, :, None] * s0, np.int32(f_total)).astype(jnp.float32)
-    t_b = s0.astype(jnp.float32) * dt_s
+    t_b = t0 + s0.astype(jnp.float32) * dt_s
     ang_b = (ph_b * np.float32(2.0 * np.pi / f_total)
              + two_pi * (fi[:, None, None] * t_b + ri[:, None, None]))
     return (jnp.cos(ang_a), jnp.sin(ang_a), jnp.cos(ang_b), jnp.sin(ang_b))
@@ -378,9 +380,15 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     the carrier wipeoff folds into the two-stage DFT twiddles
     (_dft_twiddles_mixed). No [C, S]-sized trig or complex rotation
     remains — the only full-length work is the code wipeoff product
-    feeding the carrier DFT. Equivalence to the direct form
-    (_windowed_correlate_direct) is tested to f32 reassociation noise
-    (tests/test_dpe_real.py)."""
+    feeding the carrier DFT. Contract: time_idc must be uniform/affine
+    (t0 + s*dt); t0 may be nonzero (e.g. io/rawfile.py samp_idc/fs
+    mid-file). Equivalence to the direct form
+    (_windowed_correlate_direct) is tested in tests/test_dpe_real.py
+    (test_windowed_matches_direct); on TPU the fold contractions run as
+    MXU matmuls at default precision (bf16 operands, f32 accumulate), so
+    agreement is at the ~1e-3-relative bf16-rounding class — far below
+    score noise — with identical argmaxes/flip decisions; on CPU it is
+    f32-reassociation-exact (~1e-6)."""
     s = raw_re.shape[0]
     c = chips.shape[0]
     two_pi = np.float32(2.0 * np.pi)
@@ -390,9 +398,15 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     del base0
     p_repl = _period_replicas(chips, rc_mid, period)        # [C, P0]
 
-    # per-period carrier factorization: ang(s) = A(p) + B(tau)
+    # per-period carrier factorization: ang(s) = A(p) + B(tau). The time
+    # origin t0 = time_idc[0] rides in B (t_tau keeps it); A uses the
+    # origin-free period offsets so A(p) + B(tau) == 2*pi*fi*time_idc[s]
+    # + ri exactly — matching the direct form for ANY affine time vector
+    # (e.g. io/rawfile.py samp_idc/fs starting mid-file), not just
+    # time_idc[0] == 0. Contract: time_idc must be uniform (t0 + s*dt);
+    # the sliver below reconstructs phase from (t0, dt).
     tt = time_idc[: n_periods * period].reshape(n_periods, period)
-    t_p = tt[:, 0]                                          # [P]
+    t_p = tt[:, 0] - time_idc[0]                            # [P]
     t_tau = tt[0]                                           # [P0]
     ang_a = two_pi * fi[:, None] * t_p[None, :]             # [C, P]
     ca_, sa_ = jnp.cos(ang_a), jnp.sin(ang_a)
@@ -492,11 +506,15 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     raw_sl_re = jax.vmap(slice_c, in_axes=(None, 0))(raw_re, sl_start)
     raw_sl_im = jax.vmap(slice_c, in_axes=(None, 0))(raw_im, sl_start)
     # sliver sample times arithmetically (slicing the shared time_idc with
-    # per-channel starts would lower to an emulated gather; f32(s)*dt
-    # matches time_idc's own arange/fs rounding class)
-    dt_s0 = time_idc[1] - time_idc[0]
+    # per-channel starts would lower to an emulated gather; t0 + f32(s)*dt
+    # matches time_idc's own arange/fs rounding class AND its origin, so
+    # the sliver phase is consistent with the period folds above for any
+    # affine time vector). dt from the ENDPOINTS: adjacent-sample f32
+    # differences lose ~2% relative accuracy once t0 >> dt (ulp(t0) ~ dt).
+    dt_s0 = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
     j_sl = jax.lax.broadcasted_iota(jnp.int32, (1, _SLIVER), 1)
-    t_sl = (sl_start[:, None] + j_sl).astype(jnp.float32) * dt_s0
+    t_sl = (time_idc[0]
+            + (sl_start[:, None] + j_sl).astype(jnp.float32) * dt_s0)
     ang_sl = two_pi * (fi[:, None] * t_sl + ri[:, None])    # [C, SLIVER]
     wc_sl, ws_sl = jnp.cos(ang_sl), jnp.sin(ang_sl)
     sliver_re = raw_sl_re * wc_sl + raw_sl_im * ws_sl
@@ -562,9 +580,10 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     yb_re_p = jnp.pad(yb_re, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
     yb_im_p = jnp.pad(yb_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
 
-    dt_s = time_idc[1] - time_idc[0]
+    dt_s = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
     a_cos, a_sin, b_cos, b_sin = _dft_twiddles_mixed(
-        vel_start, fi, ri, dt_s, carr_fftpts, s1_n, s0_n, carr_win)
+        vel_start, fi, ri, dt_s, carr_fftpts, s1_n, s0_n, carr_win,
+        t0=time_idc[0])
     z_re = (jnp.einsum("cws,cst->cwt", a_cos, yb_re_p,
                        preferred_element_type=jnp.float32)
             + jnp.einsum("cws,cst->cwt", a_sin, yb_im_p,

@@ -461,3 +461,115 @@ def test_packed_row_indices_exact_above_2e24():
     np.testing.assert_array_equal(vas, [31640623, 1])
     # the float32 value cast really would have corrupted these
     assert int(np.float32(16777217)) != 16777217
+
+
+@pytest.mark.parametrize("complex_out", [False, True])
+def test_windowed_matches_direct(complex_out):
+    """The regression guard promised by windowed_correlate's docstring:
+    period-factorized vs direct form, multi-channel, nav-bit boundary at
+    {0, mid-period, exact period multiple, S=none} (r2 advisor finding)."""
+    prns = [9, 6, 17, 23]
+    rcs = [400.25, 250.0, 12.7, 900.9]
+    fis = [1500.0, -2200.0, 300.0, -40.0]
+    idx_next = np.array([0, 13 * PERIOD + PERIOD // 2, 13 * PERIOD, S],
+                        np.int32)
+    sig = sum(
+        synth_simple(p, FS, S, rc=rc, ri=0.3, fc=F_CA + fi * F_CA / F_L1,
+                     fi=fi, cn0_dbhz=50.0,
+                     bits=np.where(np.arange(60) < 26, 1.0, -1.0), seed=i)
+        for i, (p, rc, fi) in enumerate(zip(prns, rcs, fis))
+    ).astype(np.complex64)
+    c = len(prns)
+    fcs = [F_CA + fi * F_CA / F_L1 for fi in fis]
+    rc_mid = np.array([np.mod(rc + (fc - F_CA) * 0.01, L_CA)
+                       for rc, fc in zip(rcs, fcs)], np.float32)
+    chips = np.stack([ca_code(p) for p in prns]).astype(np.float32)
+    base0 = jnp.asarray((np.arange(PERIOD) / FS * F_CA).astype(np.float32))
+    t32 = jnp.asarray((np.arange(S) / FS).astype(np.float32))
+    pos_start = np.full(c, S // 2 - dpe_ops.CODE_WIN // 2, np.int32)
+    vel_start = np.full(c, FPTS // 2 - dpe_ops.CARR_WIN // 2, np.int32)
+    args = (jnp.asarray(sig.real.astype(np.float32)),
+            jnp.asarray(sig.imag.astype(np.float32)),
+            jnp.asarray(chips), base0, jnp.asarray(rc_mid),
+            jnp.asarray(idx_next),
+            jnp.asarray(np.asarray(fis, np.float32)),
+            jnp.asarray(np.full(c, 0.3, np.float32)),
+            t32, jnp.asarray(pos_start), jnp.asarray(vel_start),
+            FPTS, PERIOD, S // PERIOD)
+    fac = dpe_real_ops.windowed_correlate(*args, complex_out=complex_out)
+    direct = jax.jit(
+        dpe_real_ops._windowed_correlate_direct,
+        static_argnames=("carr_fftpts", "period", "n_periods",
+                         "complex_out"))(*args, complex_out=complex_out)
+    # idx_next == 0 is a degenerate tie: flip and no-flip windows are
+    # sign-equal, so the |corr[0]| comparison is numerically tied and the
+    # two forms may break it differently — flip/re-im equality is only
+    # well-defined on the non-degenerate channels.
+    nondeg = idx_next > 0
+    np.testing.assert_array_equal(np.asarray(fac.flip_used)[nondeg],
+                                  np.asarray(direct.flip_used)[nondeg])
+    if complex_out:
+        pairs = [("code_re", fac.code_re, direct.code_re, nondeg),
+                 ("code_im", fac.code_im, direct.code_im, nondeg),
+                 ("carr_re", fac.carr_re, direct.carr_re, nondeg),
+                 ("carr_im", fac.carr_im, direct.carr_im, nondeg)]
+        code_f = np.hypot(np.asarray(fac.code_re), np.asarray(fac.code_im))
+        code_d = np.hypot(np.asarray(direct.code_re),
+                          np.asarray(direct.code_im))
+        pairs += [("code_abs", code_f, code_d, slice(None)),
+                  ("carr_abs",
+                   np.hypot(np.asarray(fac.carr_re), np.asarray(fac.carr_im)),
+                   np.hypot(np.asarray(direct.carr_re),
+                            np.asarray(direct.carr_im)), slice(None))]
+    else:
+        pairs = [("code_mag", fac.code_mag, direct.code_mag, slice(None)),
+                 ("carr_mag", fac.carr_mag, direct.carr_mag, slice(None))]
+        code_f, code_d = np.asarray(fac.code_mag), np.asarray(direct.code_mag)
+    for name, a, b, sel in pairs:
+        a, b = np.asarray(a)[sel], np.asarray(b)[sel]
+        scale = np.abs(b).max(axis=1, keepdims=True)
+        rel = np.abs(a - b) / scale
+        assert rel.max() < 5e-3, (name, rel.max())
+    np.testing.assert_array_equal(np.argmax(code_f, axis=1),
+                                  np.argmax(code_d, axis=1))
+
+
+def test_windowed_nonzero_time_origin():
+    """A time vector starting mid-file (t0 != 0, io/rawfile.py samp_idc/fs)
+    must produce the same windows as the direct form — pins the
+    origin-consistent sliver/twiddle phase derivation."""
+    prn, rc, fi = 6, 250.0, 300.0
+    fc = F_CA + fi * F_CA / F_L1
+    bits = np.where(np.arange(60) < 26, 1.0, -1.0)
+    sig = synth_simple(prn, FS, S, rc=rc, fc=fc, fi=fi, cn0_dbhz=50.0,
+                       bits=bits, seed=3).astype(np.complex64)
+    idx_next = int(np.floor((20 * L_CA - rc) * FS / fc)) + 1
+    t0_samp = 7 * S  # 7 blocks into the file
+    t32 = jnp.asarray(((t0_samp + np.arange(S)) / FS).astype(np.float32))
+    chips = ca_code(prn)[None, :].astype(np.float32)
+    base0 = jnp.asarray((np.arange(PERIOD) / FS * F_CA).astype(np.float32))
+    pos_start = np.array([S // 2 - dpe_ops.CODE_WIN // 2], np.int32)
+    vel_start = np.array([FPTS // 2 - dpe_ops.CARR_WIN // 2], np.int32)
+    rc_mid = np.mod(rc + (fc - F_CA) * 0.01, L_CA)
+    args = (jnp.asarray(sig.real.astype(np.float32)),
+            jnp.asarray(sig.imag.astype(np.float32)),
+            jnp.asarray(chips), base0,
+            jnp.asarray([np.float32(rc_mid)]),
+            jnp.asarray([np.int32(idx_next)]),
+            jnp.asarray([np.float32(fi)]),
+            jnp.asarray([np.float32(0.0)]),
+            t32, jnp.asarray(pos_start), jnp.asarray(vel_start),
+            FPTS, PERIOD, S // PERIOD)
+    fac = dpe_real_ops.windowed_correlate(*args)
+    direct = jax.jit(
+        dpe_real_ops._windowed_correlate_direct,
+        static_argnames=("carr_fftpts", "period", "n_periods"))(*args)
+    assert bool(np.asarray(fac.flip_used)[0]) == bool(
+        np.asarray(direct.flip_used)[0])
+    for name in ("code_mag", "carr_mag"):
+        a = np.asarray(getattr(fac, name))
+        b = np.asarray(getattr(direct, name))
+        rel = np.abs(a - b) / np.abs(b).max()
+        assert rel.max() < 5e-3, (name, rel.max())
+    assert int(np.argmax(np.asarray(fac.code_mag)[0])) == int(
+        np.argmax(np.asarray(direct.code_mag)[0]))
