@@ -94,6 +94,8 @@ class TrackState(NamedTuple):
     snr_z: jax.Array     # [C, SNR_N] power samples ring
     snr_v: jax.Array     # [C, SNR_N] variance samples ring
     snr_fill: jax.Array  # samples seen (int32) — ring warm-up
+    prev_p_re: jax.Array  # previous prompt vector (FLL discriminator)
+    prev_p_im: jax.Array
 
 
 class TrackLog(NamedTuple):
@@ -143,6 +145,7 @@ def init_state(rc, ri, fc, fi, cp=None) -> TrackState:
         snr_z=jnp.zeros((c, SNR_N), jnp.float32),
         snr_v=jnp.zeros((c, SNR_N), jnp.float32),
         snr_fill=jnp.asarray(izeros),
+        prev_p_re=jnp.asarray(zeros), prev_p_im=jnp.asarray(zeros),
     )
 
 
@@ -352,8 +355,21 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
                     0.0).astype(jnp.float32)
 
     zero = jnp.zeros_like(dpi)
+    if loops.bn_carr_freq > 0.0:
+        # FLL discriminator (reference discriminator.py:56-69): frequency
+        # error in Hz from the rotation of the prompt vector between
+        # consecutive 1 ms windows, atan2(cross, dot) with the dot sign
+        # normalized so 180-degree nav-bit flips cancel. First step has a
+        # zero previous prompt -> atan2(0, 0) == 0 (no kick).
+        cross = state.prev_p_re * qp - ip * state.prev_p_im
+        dot = state.prev_p_re * ip + state.prev_p_im * qp
+        sgn = jnp.where(dot < 0.0, -1.0, 1.0).astype(jnp.float32)
+        xf = (jnp.arctan2(sgn * cross, sgn * dot)
+              / np.float32(2.0 * np.pi * T_MS)).astype(jnp.float32)
+    else:
+        xf = zero
     lf_carr_h, lf_carr_h2, di = _lf_step(
-        state.lf_carr_h, state.lf_carr_h2, dpi, zero,
+        state.lf_carr_h, state.lf_carr_h2, dpi, xf,
         _loop_coeffs(loops.order, loops.bn_carr, loops.bn_carr_freq),
         loops.boxcar)
     lf_code_h, lf_code_h2, dc = _lf_step(
@@ -364,7 +380,8 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
     dfc_new = state.dfc_bias + dc + np.float32(fcaid) * (state.fi_bias + di)
     return state._replace(fi=fi_new, dfc=dfc_new, lf_carr_h=lf_carr_h,
                           lf_code_h=lf_code_h, lf_carr_h2=lf_carr_h2,
-                          lf_code_h2=lf_code_h2), dpc, dpi
+                          lf_code_h2=lf_code_h2,
+                          prev_p_re=ip, prev_p_im=qp), dpc, dpi
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "fcaid", "loops"))
@@ -450,7 +467,8 @@ def track_open_loop(rc, dfc, ri, fi, raw_chunk, code_table, fs: float):
             lock=jnp.zeros_like(rc, jnp.int32),
             snr_z=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
             snr_v=jnp.zeros((rc.shape[0], SNR_N), jnp.float32),
-            snr_fill=jnp.zeros_like(rc, jnp.int32))
+            snr_fill=jnp.zeros_like(rc, jnp.int32),
+            prev_p_re=jnp.zeros_like(rc), prev_p_im=jnp.zeros_like(rc))
         e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],
                                              code_table, time_idc, fs)
         e_r, p_r, l_r, signs, _, _ = _polarity_combine(st, e_s, p_s, l_s,

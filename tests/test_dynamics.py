@@ -173,3 +173,48 @@ def test_rts_smoother_beats_forward_ekf():
     # measured: forward 5.75 m RMS -> smoothed 4.16 m on this scenario
     assert smo < 0.85 * fwd, (smo, fwd)
     assert smo < 4.8, (smo, fwd)
+
+
+def test_fll_assist_holds_doppler_ramp():
+    """High-dynamics carrier: under a 250 Hz/s Doppler ramp a narrow
+    PLL-only loop (Bn 10 Hz) slips hundreds of Hz, while the FLL-assisted
+    loop (bn_carr_freq > 0, reference discriminator.py:56-69 atan2
+    cross/dot) pulls the frequency along the ramp — the capability the
+    LoopConfig.bn_carr_freq knob advertises (r2 verdict item #4)."""
+    import jax.numpy as jnp
+
+    from navlab_dpe_sdr_tpu.constants import F_CA, F_L1, L_CA
+    from navlab_dpe_sdr_tpu.libgnss.cacode import ca_code
+    from navlab_dpe_sdr_tpu.ops import tracking as trk
+
+    fs, S, steps = 2.5e6, 2500, 1200
+    fdot, fi0, cn0 = 250.0, 120.0, 45.0
+    n = S * steps
+    t = np.arange(n) / fs
+    fi_t = fi0 + fdot * t
+    ph = fi0 * t + 0.5 * fdot * t * t
+    rc_t = np.cumsum(np.full(n, F_CA) / fs * (1.0 + fi_t / F_L1))
+    chips = ca_code(5)[np.mod(np.floor(rc_t), L_CA).astype(np.int64)]
+    amp = 32 * np.sqrt(10 ** (cn0 / 10) / fs)
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * (
+        32 / np.sqrt(2))
+    iq = amp * chips * np.exp(2j * np.pi * ph) + noise
+    raw = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+    raw = raw.reshape(steps, S, 2)
+    code_table = ca_code(5)[None, :].astype(np.float32)
+    truth = fi0 + fdot * np.arange(steps) * 1e-3
+
+    def run(loops):
+        st = trk.init_state(np.array([0.0]), np.array([0.0]),
+                            np.array([F_CA]), np.array([fi0]))
+        _, log = trk.track_chunk(st, jnp.asarray(raw),
+                                 jnp.asarray(code_table), fs,
+                                 F_CA / F_L1, loops)
+        fi_est = np.asarray(log.fi)[:, 0]
+        return np.median(np.abs(fi_est[-200:] - truth[-200:]))
+
+    err_pll = run(trk.LoopConfig(order=2, bn_carr=10.0))
+    err_fll = run(trk.LoopConfig(order=2, bn_carr=10.0, bn_carr_freq=8.0))
+    assert err_pll > 100.0, err_pll    # PLL-only demonstrably loses the ramp
+    assert err_fll < 25.0, err_fll     # FLL-assist holds it
