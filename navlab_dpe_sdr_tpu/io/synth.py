@@ -132,7 +132,7 @@ class CaptureSimulator:
                  cn0_dbhz=45.0, sigma: float = 32.0,
                  clock_drift: float = 0.0, nav_data: bool = True,
                  bandwidth_hz: float | None = 2.2e6,
-                 accel_ecef=None, seed: int = 7):
+                 accel_ecef=None, extra_delay_m=None, seed: int = 7):
         self.eph = eph_arr
         self.k = len(eph_arr)
         self.rx = np.asarray(rx_state_ecef, dtype=np.float64).reshape(-1)
@@ -147,6 +147,10 @@ class CaptureSimulator:
         # constant ECEF acceleration [m/s^2] (maneuvering-receiver tests)
         self.accel = (np.zeros(3) if accel_ecef is None
                       else np.asarray(accel_ecef, dtype=np.float64))
+        # per-channel extra signal-path delay [m] (atmospheric injection:
+        # iono/tropo group delay makes the signal arrive delay/C later)
+        self.extra_delay_m = (np.zeros(self.k) if extra_delay_m is None
+                              else np.asarray(extra_delay_m, np.float64))
         self.nav_data = nav_data
         # front-end bandwidth (double-sided). A real RF chain bandlimits the
         # rectangular chips, rounding the correlation peak — without this the
@@ -217,8 +221,10 @@ class CaptureSimulator:
                 r = np.sqrt((sx - px) ** 2 + (sy - py) ** 2 + (sz - pz) ** 2)
                 t_sv = t_rx_nodes + clkb - r / C
             # store the small delay d = t_sv - t_rx: full float64 resolution
-            # survives differencing (t_sv alone has only ~6e-11 s ulp)
-            delay[i] = clkb - r / C
+            # survives differencing (t_sv alone has only ~6e-11 s ulp).
+            # extra_delay_m arrives later -> transmitted correspondingly
+            # earlier for the same receive time.
+            delay[i] = clkb - (r + self.extra_delay_m[i]) / C
         return delay
 
     def generate(self, n_samples: int, start_sample: int = 0,

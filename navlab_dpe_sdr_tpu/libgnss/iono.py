@@ -3,7 +3,11 @@
 The reference ships this as dead code (pygnss satpos.py:199-277, never
 called) and parses the coefficients in rinexparse.cpp:88-110; here the
 model is live: coefficients come from the RINEX header
-(`rinex.read_header`), the correction applies to pseudoranges.
+(`rinex.read_header`) and the correction applies to pseudoranges in two
+places — `naveng.calculate_nav_soln(..., ion_alpha, ion_beta)` subtracts
+it from the LS observables (via `naveng.atmospheric_delays_m`), and
+`models.dpe.DPEConfig.ion_alpha/ion_beta` adds it to every modeled
+pseudorange in the DPE channel back-calculation.
 
 All angles in the standard's semicircle units internally; the public API
 takes radians/degrees as documented.

@@ -16,6 +16,8 @@ import numpy as np
 from ..constants import C, F_L1, T_CA, F_CA
 from . import frames, satpos
 from .ephemeris import EphArray
+from .iono import klobuchar_delay_m
+from .tropo import tropo_delay_m
 
 
 def transmit_times(cp: np.ndarray, rc: np.ndarray, eph: EphArray) -> np.ndarray:
@@ -80,9 +82,38 @@ def least_squares_pvt(sats_eci: np.ndarray, pseudoranges: np.ndarray,
     return out
 
 
+def atmospheric_delays_m(rx_pos_ecef, sats_pos, gps_tow: float,
+                         ion_alpha=None, ion_beta=None,
+                         tropo: bool = False) -> np.ndarray:
+    """Per-satellite atmospheric group delays [m] at the receiver.
+
+    rx_pos_ecef: (3,) receiver ECEF position; sats_pos: (3, K) satellite
+    positions (ECEF or receive-epoch ECI — the el/az difference is
+    negligible); gps_tow: receive time of week. ion_alpha/ion_beta: the
+    RINEX header ION ALPHA/BETA coefficients (rinex.read_header;
+    reference rinexparse.cpp:88-110) enable the Klobuchar model; tropo
+    enables the standard-atmosphere model (reference satpos.py:268-277).
+    """
+    sats_pos = np.asarray(sats_pos, dtype=np.float64)
+    k = sats_pos.shape[1]
+    delays = np.zeros(k)
+    lla = frames.ecef_to_lla(np.asarray(rx_pos_ecef, dtype=np.float64))
+    r_e2n = frames.ecef_to_enu_matrix(np.asarray(rx_pos_ecef))
+    enu = r_e2n @ (sats_pos - np.asarray(rx_pos_ecef)[0:3, None])  # (3, K)
+    for i in range(k):
+        el, az, _ = frames.enu_to_elaz(enu[:, i])
+        if ion_alpha is not None and ion_beta is not None:
+            delays[i] += klobuchar_delay_m(ion_alpha, ion_beta,
+                                           lla[0], lla[1], el, az, gps_tow)
+        if tropo:
+            delays[i] += tropo_delay_m(el)
+    return delays
+
+
 def calculate_nav_soln(cp, rc, fi, eph: EphArray, doppler_sign: float = 1.0,
                        rx_time0: float | None = None,
-                       rx_pos0: np.ndarray | None = None):
+                       rx_pos0: np.ndarray | None = None,
+                       ion_alpha=None, ion_beta=None, tropo: bool = False):
     """Full scalar navigation solution from channel observables.
 
     Args:
@@ -92,9 +123,13 @@ def calculate_nav_soln(cp, rc, fi, eph: EphArray, doppler_sign: float = 1.0,
       doppler_sign: rawfile ds (sign convention of fi).
       rx_time0: receive-time initialization; default max(t_tx) + 68 ms.
       rx_pos0: optional (4,) position/clock initialization.
+      ion_alpha/ion_beta/tropo: optional atmospheric corrections
+        (atmospheric_delays_m) subtracted from the pseudoranges after an
+        initial solve fixes the el/az geometry, then the solve is rerun.
 
     Returns (rx_time_a, rx_time, x_ecef(8,), x_eci(8,), sats_eci(8,K)).
-    Parity: reference naveng.py:10-88.
+    Parity: reference naveng.py:10-88 (+ the corrections its satpos.py
+    carries as dead code).
     """
     cp = np.asarray(cp, dtype=np.float64)
     rc = np.asarray(rc, dtype=np.float64)
@@ -122,6 +157,14 @@ def calculate_nav_soln(cp, rc, fi, eph: EphArray, doppler_sign: float = 1.0,
     sats_eci = rotate_all(rx_time)
     x0 = None if rx_pos0 is None else np.asarray(rx_pos0).reshape(-1)[:4]
     x_eci = least_squares_pvt(sats_eci, pseudoranges, pseudorates, x0=x0)
+
+    if (ion_alpha is not None and ion_beta is not None) or tropo:
+        # el/az geometry from the uncorrected solve (meters of position
+        # error move el/az by microradians — one pass suffices)
+        delays = atmospheric_delays_m(x_eci[0:3], sats_eci[0:3], rx_time,
+                                      ion_alpha, ion_beta, tropo)
+        x_eci = least_squares_pvt(sats_eci, pseudoranges - delays,
+                                  pseudorates, x0=x_eci[:4])
 
     rx_time_a = rx_time - x_eci[3] / C
     x_ecef = frames.eci_to_ecef(x_eci, t_gps=rx_time_a, t_c=rx_time)

@@ -102,6 +102,12 @@ class DPEConfig:
                                        # "full" (white-accel PV process)
     ekf_q_pos: float = 25.0            # pos/clock random-walk PSD [m^2/s]
                                        # (correlated-argmax inflation floor)
+    ion_alpha: tuple | None = None     # RINEX ION ALPHA (Klobuchar); with
+    ion_beta: tuple | None = None      # ion_beta enables the iono model in
+                                       # the channel back-calculation
+                                       # (libgnss.iono, naveng wiring)
+    tropo: bool = False                # standard-atmosphere tropo model
+                                       # (libgnss.tropo) in the back-calc
     code_win: int | None = None        # score-window widths [samples/bins].
     carr_win: int | None = None        # None = sized to the grid geometry
                                        # (ops.dpe.auto_windows) — the weight
@@ -357,7 +363,8 @@ class DPEReceiver:
                                             self.rx_time_a)
 
         rng = np.linalg.norm(sats_eci[0:3] - x_eci[0:3, None], axis=0)
-        bc_pr = rng + x_eci[3] - C * sats_eci[3]
+        bc_pr = (rng + x_eci[3] - C * sats_eci[3]
+                 + self._atmos_m(x_eci[0:3], sats_eci[0:3], self.rx_time))
         bc_tt = self.rx_time - bc_pr / C
         bc_cfd = (bc_tt - self.eph.tow_timestamp
                   - T_CA * (self.cp - self.eph.cp_timestamp))
@@ -380,6 +387,18 @@ class DPEReceiver:
         s8 = satpos.sat_state(self.eph, t_tx - clkb, clkb, clkd)
         return s8, t_tx - clkb
 
+    def _atmos_m(self, rx_pos, sats_pos, tow):
+        """Per-channel atmospheric group delay [m] added to every modeled
+        pseudorange (prediction, steering, manifold centers) so the model
+        matches a signal delayed by the iono/troposphere. 0.0 when disabled.
+        sats_pos may be receive-epoch ECI (el/az error ~ microradians)."""
+        cfg = self.cfg
+        if cfg.ion_alpha is None and not cfg.tropo:
+            return 0.0
+        return naveng.atmospheric_delays_m(
+            np.asarray(rx_pos, dtype=np.float64), sats_pos, tow,
+            cfg.ion_alpha, cfg.ion_beta, cfg.tropo)
+
     def _sats_now(self):
         """Satellite ECI states at the current (cp, rc) epoch."""
         t_tx = naveng.transmit_times(self.cp, self.rc, self.eph)
@@ -399,7 +418,8 @@ class DPEReceiver:
         los_enu = (r_e2n @ los).T                   # [C, 3]
 
         # position manifold center index (code_corr, fftshifted, length S)
-        bc_pr = r0 + x_eci[3] - C * sats_eci[3]
+        bc_pr = (r0 + x_eci[3] - C * sats_eci[3]
+                 + self._atmos_m(x_eci[0:3], sats_eci[0:3], self.rx_time))
         bc_tt = self.rx_time - bc_pr / C
         bc_cfd = (bc_tt - self.eph.tow_timestamp
                   - T_CA * (self.cp - self.eph.cp_timestamp))
@@ -591,7 +611,8 @@ class DPEReceiver:
         bc_fi = (-F_L1 / C * bc_psr) / self.cfg.doppler_sign
         self.fi = bc_fi
 
-        bc_pr = r0 + x_eci[3] - C * sats_eci[3]
+        bc_pr = (r0 + x_eci[3] - C * sats_eci[3]
+                 + self._atmos_m(x_eci[0:3], sats_eci[0:3], self.rx_time))
         bc_tt = self.rx_time - bc_pr / C
         bc_cfd = (bc_tt - self.eph.tow_timestamp
                   - T_CA * (self.cp - self.eph.cp_timestamp))
@@ -707,11 +728,18 @@ class DPEReceiver:
         # scalar path's one refinement from a per-block guess; residual
         # after two is < 1e-15 s)
         t_tx = eph.tow_timestamp + (phi0 + self.fc * (ks * T)) / F_CA
-        for _ in range(2):
+        atm = 0.0
+        for it in range(2):
             s8, t_tx_c = self._sat_states(t_tx)                 # [8, N, C]
             sats = frames.ecef_to_eci_batch(s8, t_tx_c, rx_a[:, None])
+            if it == 0:
+                # el/az move microradians over a <=1 s batch: one [C] row
+                # of delays from the first block's geometry serves all
+                atm = self._atmos_m(xs[0, 0:3],
+                                    np.asarray(sats[0:3, 0, :]),
+                                    rx_times[0])
             rng = np.linalg.norm(sats[0:3] - x_eci[0:3, :, None], axis=0)
-            bc_pr = rng + x_eci[3][:, None] - C * sats[3]
+            bc_pr = rng + x_eci[3][:, None] - C * sats[3] + atm
             t_tx = rx_times[:, None] - bc_pr / C                # = bc_tt
         phi = (t_tx - eph.tow_timestamp) * F_CA                 # [N, C]
         cp_rows = eph.cp_timestamp + np.floor(phi / L_CA)
@@ -730,7 +758,7 @@ class DPEReceiver:
         losrr = np.sum(los * rr, axis=0)
         bc_psr = -losrr + x_eci[7][:, None] - C * sats2[7]
         fi_rows = (-F_L1 / C * bc_psr) / self.cfg.doppler_sign  # [N, C]
-        bc_pr2 = r0 + x_eci[3][:, None] - C * sats2[3]
+        bc_pr2 = r0 + x_eci[3][:, None] - C * sats2[3] + atm
         bc_tt2 = rx_times[:, None] - bc_pr2 / C
         bc_rc2 = ((bc_tt2 - eph.tow_timestamp) * F_CA
                   - L_CA * (cp_rows - eph.cp_timestamp))

@@ -170,7 +170,9 @@ def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
     dt = cand[3:4]
 
     acc = jnp.zeros((1, tile), jnp.float32)
-    kk = jax.lax.broadcasted_iota(jnp.float32, (wp, tile), 0)
+    # integer iota + cast: Mosaic's tpu.iota only produces integer vectors
+    kk = jax.lax.broadcasted_iota(jnp.int32, (wp, tile), 0).astype(
+        jnp.float32)
     for c in range(n_chan):
         u = par[0, c] * c0 + par[1, c] * c1 + par[2, c] * c2  # [1, TILE]
         if quad_range:
