@@ -154,7 +154,7 @@ def cmd_dpe(args):
             gkw["vel_spacing"] = args.grid_vel_spacing
         if args.grid == "spread" and gkw:
             raise SystemExit("--grid-n/--grid-spacing apply to "
-                             "uniform/arthur/dense grids only")
+                             "uniform/arthur/dense/exponential grids only")
         grid = make_grid(args.grid, **gkw)
         print(f"grid: {args.grid} {grid.n_pos} pos + {grid.n_vel} vel points")
     eph_manager = None
@@ -452,8 +452,9 @@ def cmd_mc(args):
         spacings = [float(s) for s in args.spacings.split(",")]
         results = mc.spacing_sweep(
             args.file, hand, spacings, blocks=args.blocks,
-            grid_n=args.grid_n, config=cfg, converge_m=args.converge_m,
-            out_dir=args.out_dir, fs=args.fs, truth_ecef=truth)
+            grid_n=args.grid_n, style=args.grid_style, config=cfg,
+            converge_m=args.converge_m, out_dir=args.out_dir, fs=args.fs,
+            truth_ecef=truth)
         for r in results:
             print(f"spacing {r.spacing:5.2f} m -> median "
                   f"{r.median_err_m:8.2f} m "
@@ -628,7 +629,8 @@ def main(argv=None):
     pd.add_argument("--ds", type=float, default=1.0)
     pd.add_argument("--blocks", type=int, default=1500)
     pd.add_argument("--grid", default="spread",
-                    choices=["spread", "uniform", "arthur", "dense"],
+                    choices=["spread", "uniform", "arthur", "dense",
+                             "exponential"],
                     help="dense = reference-cap 75^4+75^4 uniform grid "
                          "(63.3M points, BCM_MAX_GRID_SIZE); tune with "
                          "--grid-n/--grid-spacing")
@@ -696,7 +698,8 @@ def main(argv=None):
     pu.add_argument("--batch", type=int, default=50,
                     help="blocks coherently integrated per epoch")
     pu.add_argument("--grid", default="spread",
-                    choices=["spread", "uniform", "arthur", "dense"],
+                    choices=["spread", "uniform", "arthur", "dense",
+                             "exponential"],
                     help="coarse-pass grid (zoom lattices refine it)")
     pu.add_argument("--fine-spacing", type=float, default=0.25,
                     help="final zoom lattice spacing [m]")
@@ -760,6 +763,9 @@ def main(argv=None):
                     help="grid-spacing sweep mode [m] (GridDimSpacing)")
     pm.add_argument("--grid-n", type=int, default=25,
                     help="uniform-grid axis points for --spacings")
+    pm.add_argument("--grid-style", default="uniform",
+                    choices=["uniform", "exponential", "arthur"],
+                    help="axis style for the --spacings sweep")
     pm.add_argument("--converge-m", type=float, default=20.0)
     pm.add_argument("--seed", type=int, default=0)
     pm.add_argument("--out-dir", help="write indexed XECEF logs + "

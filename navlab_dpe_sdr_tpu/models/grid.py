@@ -9,6 +9,8 @@ Grids are ENU + clock offsets about the current EKF state. Styles:
   Uniform grids, batchcorrmanifold.cu:148-316).
 - "arthur":  uniform interior with 3x-widened border rings (CUDARecv
   ArthurBasis, batchcorrmanifold.cu:175-246).
+- "exponential": center-dense axes with geometric step growth (CUDARecv
+  enumerates but never implements this style, gridhelper.h:24-28).
 - CSV load (rngrid3-style custom grids, batchcorrmanifold.cu:2422-2448).
 """
 
@@ -116,6 +118,35 @@ def arthur_grid(n: int = 25, pos_spacing: float = 1.0,
     return Grid(d_enu=d_enu, dt_m=dt, dv_enu=dv_enu, dtdot=dtdot)
 
 
+def exponential_axis(n: int, spacing: float,
+                     growth: float = 1.35) -> np.ndarray:
+    """Center-dense axis: the k-th step out from the center is
+    spacing * growth^(k-1), so resolution is finest where the estimate
+    already is and the span grows geometrically (CUDARecv enumerates this
+    style as ManifoldGridTypes::Exponential, gridhelper.h:24-28, but
+    never implements it — here it is real)."""
+    half = (n - 1) // 2
+    steps = spacing * growth ** np.arange(half, dtype=np.float64)
+    pos = np.concatenate([[0.0], np.cumsum(steps)])
+    return np.concatenate([-pos[:0:-1], pos])
+
+
+def exponential_grid(n: int = 25, pos_spacing: float = 1.0,
+                     vel_spacing: float = 0.1,
+                     growth: float = 1.35) -> Grid:
+    """n^4 + n^4 grids on exponential axes (time axis 1.2x the position
+    axis, drift 0.5x velocity — same ratios as the arthur grid)."""
+    if 2 * n ** 4 > MAX_GRID_POINTS:
+        raise ValueError(
+            f"grid would have {2 * n ** 4} points; cap is 2*75^4 = "
+            f"{MAX_GRID_POINTS} (reference BCM_MAX_GRID_SIZE)")
+    axis = exponential_axis(n, pos_spacing, growth)
+    vaxis = exponential_axis(n, vel_spacing, growth)
+    d_enu, dt = _mesh4(axis, axis * 1.2)
+    dv_enu, dtdot = _mesh4(vaxis, vaxis * 0.5)
+    return Grid(d_enu=d_enu, dt_m=dt, dv_enu=dv_enu, dtdot=dtdot)
+
+
 def load_grid_csv(path: str, vel_grid: Grid | None = None) -> Grid:
     """Custom position grid from CSV rows `e,n,u[,dt_m]` (rngrid3-style).
     Velocity manifold defaults to the spread grid's."""
@@ -155,6 +186,8 @@ def make_grid(style: str = "spread", **kw) -> Grid:
         g = uniform_grid(**kw)
     elif style == "arthur":
         g = arthur_grid(**kw)
+    elif style == "exponential":
+        g = exponential_grid(**kw)
     elif style == "dense":
         g = dense_grid(**kw)
     else:

@@ -140,19 +140,21 @@ def perturbation_sweep(capture, hand, runs: int = 100, blocks: int = 50,
 
 
 def spacing_sweep(capture, hand, spacings, blocks: int = 50, grid_n: int = 25,
-                  config=None, converge_m: float = 20.0,
+                  style: str = "uniform", config=None,
+                  converge_m: float = 20.0,
                   out_dir: str | None = None, fs: float = 2.5e6,
                   truth_ecef=None, verbose: bool = True) -> list[MCRun]:
     """Grid-spacing sweep (reference main.cu:257-277: GridDimSpacing
-    7.0..10.0 m in 0.5 m steps over repeated runs)."""
-    from .grid import uniform_grid
+    7.0..10.0 m in 0.5 m steps over repeated runs). style picks the axis
+    family: uniform / exponential / arthur (make_grid styles)."""
+    from .grid import make_grid
 
     truth = np.asarray(truth_ecef if truth_ecef is not None else hand.x_ecef)
     results = []
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     for idx, s in enumerate(spacings):
-        grid = uniform_grid(n=grid_n, pos_spacing=float(s))
+        grid = make_grid(style, n=grid_n, pos_spacing=float(s))
         run = MCRun(idx=idx, spacing=float(s))
         rx, errs = _one_run(capture, hand, np.zeros(3), 0.0, grid, config,
                             blocks, fs, truth)

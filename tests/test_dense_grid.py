@@ -1,8 +1,13 @@
 """Dense-grid mode: reference-cap guard (batchcorrmanifold.h:17) and
 streaming-scorer convergence on a ~2.4M-point uniform grid."""
 
+import os
+import pathlib
+
 import numpy as np
 import pytest
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 from navlab_dpe_sdr_tpu.models.grid import (Grid, MAX_GRID_POINTS,
                                             check_grid_size, dense_grid,
@@ -62,3 +67,47 @@ def test_dense_grid_dpe_converges():
     errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
             for f in rx.fixes]
     assert np.median(errs[-2:]) < 15.0, errs
+
+
+def test_exponential_axis_properties():
+    from navlab_dpe_sdr_tpu.models.grid import exponential_axis, make_grid
+
+    ax = exponential_axis(25, 1.0, growth=1.35)
+    assert ax.shape == (25,)
+    assert ax[12] == 0.0
+    np.testing.assert_allclose(ax, -ax[::-1])           # symmetric
+    steps = np.diff(ax[12:])
+    assert abs(steps[0] - 1.0) < 1e-12                  # center step = spacing
+    np.testing.assert_allclose(steps[1:] / steps[:-1], 1.35)  # geometric
+    assert np.all(np.diff(ax) > 0)                      # strictly monotone
+
+    g = make_grid("exponential", n=9, pos_spacing=2.0, vel_spacing=0.2)
+    assert g.n_pos == 9 ** 4 and g.n_vel == 9 ** 4
+    # center-out growth: the grid spans far beyond n*spacing
+    assert np.abs(g.d_enu).max() > 2.0 * 4
+
+
+def test_exponential_spacing_sweep_row(tmp_path):
+    """One exponential-style row through the MC spacing-sweep harness
+    (gridhelper.h:24-28 Exponential, closing the last enumerated grid
+    type; r2 verdict item #8)."""
+    import subprocess
+    import sys
+
+    d = tmp_path
+    cap, hand = d / "cap.dat", d / "hand.csv"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "synth", "--out", str(cap), "--handoff", str(hand),
+         "--seconds", "0.7", "--cn0", "50"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "mc", str(cap), "--handoff", str(hand), "--spacings", "5.0",
+         "--grid-style", "exponential", "--grid-n", "9", "--blocks", "12"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "spacing" in r.stdout and "ok" in r.stdout, r.stdout
