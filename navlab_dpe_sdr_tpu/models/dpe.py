@@ -79,7 +79,12 @@ class DPEConfig:
     use_argmax: bool = True          # reference's active estimator variant
     interp: str = "quadratic"        # "linear" = exact reference parity
     engine: str = "real"             # "real" = gather/complex-free windowed
-                                     # engine; "fft" = full-FFT path
+                                     # engine (the product/TPU path, all
+                                     # modes); "fft" = full-FFT
+                                     # cross-validation oracle (complex64,
+                                     # CPU-class backends, per-block mode
+                                     # only — batched/integrated/survey
+                                     # modes reject it by design)
     doppler_sign: float = 1.0
     use_sat_cache: bool = True       # Hermite-interpolated satellite states
                                      # (satpos.cu design) for host prep
@@ -1079,7 +1084,11 @@ class DPEReceiver:
         to steer with — feeding it back corrupts the window centers and
         the run never recovers; coasting keeps the windows centered for
         the full-pass survey solve (weak-signal mode)."""
-        assert self.cfg.engine == "real"
+        if self.cfg.engine != "real":
+            raise ValueError(
+                "integrated mode runs on engine='real' only; engine='fft' "
+                "is the per-block cross-validation oracle (see "
+                "DPEConfig.engine)")
         self._check_batch_mode(raw_blocks_dev, start_block,
                                n_batches * blocks_per_fix)
         prefetch = (_RawPrefetcher(self.rawfile,
@@ -1401,7 +1410,11 @@ class DPEReceiver:
         covering blocks start_block..; if None, blocks are read from the
         SampleFile and uploaded per batch.
         """
-        assert self.cfg.engine == "real", "batched mode uses the real engine"
+        if self.cfg.engine != "real":
+            raise ValueError(
+                "batched mode runs on engine='real' only; engine='fft' is "
+                "the per-block cross-validation oracle (see "
+                "DPEConfig.engine)")
         self._check_batch_mode(raw_blocks_dev, start_block, n_blocks)
         sizes = []
         left = n_blocks
