@@ -515,6 +515,108 @@ def cmd_sens(args):
         print(f"wrote {args.out}")
 
 
+
+def cmd_live(args):
+    """Live-paced real-time demonstration (RunLive, sampleblock.cu:421-426):
+    a server paces the capture over TCP at true fs wall-clock; the receiver
+    must keep up under the 1.5 s watchdog with per-iteration drop
+    accounting. Compute is timed after the source returns (flow.cu:132-135);
+    the sample wait is delivery, not work."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from .io.handoff import read_handoff
+    from .io.netsource import PacedReplayServer, open_tcp_source
+    from .models.dpe import DPEConfig, DPEReceiver
+    from .models.grid import make_grid
+    from .runtime.flow import FlowRunner
+
+    hand = read_handoff(args.handoff)
+    overrides = _parse_set(args.set)
+    cfg = DPEConfig(**{k: v for k, v in overrides.items()
+                       if k in DPEConfig.__dataclass_fields__})
+    gkw = {}
+    if args.grid_n:
+        gkw["n"] = args.grid_n
+    grid = make_grid(args.grid, **gkw)
+
+    srv = PacedReplayServer(args.file, fs=args.fs,
+                            start_byte=hand.bytes_read)
+    print(f"paced server: 127.0.0.1:{srv.port} at {args.fs / 1e6:.2f} Msps "
+          f"(skip {hand.bytes_read} B)")
+
+    # a zero-sample SampleFile donor provides fs/S/block geometry; samples
+    # arrive from the socket
+    from .io.rawfile import DTYPE_IQ16, SampleFile
+    donor = SampleFile(samples=np.zeros(0, DTYPE_IQ16), fs=args.fs,
+                       ds=args.ds)
+    rx = DPEReceiver(donor, hand, grid=grid, config=cfg)
+    k = max(1, args.lookahead)
+    stream = open_tcp_source("127.0.0.1", srv.port, block_samples=rx.S,
+                             timeout_s=args.watchdog)
+    n_blocks = int(round(args.seconds / cfg.T)) if args.seconds else 10 ** 9
+
+    got = {"blocks": 0}
+
+    def fetch_batch():
+        blks = []
+        for _ in range(min(k, n_blocks - got["blocks"])):
+            b = stream.next_block()
+            if b is None:
+                break
+            blks.append(np.asarray(b))
+        if not blks:
+            return None
+        got["blocks"] += len(blks)
+        return np.stack(blks)                      # [K, S, 2] int16
+
+    def process(batch):
+        n = batch.shape[0]
+        if k == 1:
+            cplx = batch[0, :, 0].astype(np.float64) + 1j * batch[0, :, 1]
+            rx.step(raw_block=cplx)
+        else:
+            rx.run_batched(n, lookahead=n,
+                           raw_blocks_dev=jnp.asarray(batch))
+        return rx.fixes[-1]
+
+    budget = k * cfg.T
+    runner = FlowRunner(process, watchdog_s=args.watchdog,
+                        realtime_budget_s=budget, source_fn=fetch_batch)
+    t0 = _time.perf_counter()
+    stats = runner.run()
+    wall = _time.perf_counter() - t0
+    stream.close()
+
+    margin = budget / stats.avg_s if stats.n else float("inf")
+    rec = {
+        "signal_seconds": got["blocks"] * cfg.T,
+        "wall_seconds": round(wall, 3),
+        "blocks": got["blocks"],
+        "iterations": stats.n,
+        "lookahead": k,
+        "budget_ms": budget * 1e3,
+        "avg_compute_ms": round(stats.avg_s * 1e3, 3),
+        "max_compute_ms": round(max(stats.top_max) * 1e3, 3)
+                          if stats.top_max else None,
+        "rt_misses": runner.realtime_misses,
+        "watchdog_s": args.watchdog,
+        "margin_x": round(margin, 2),
+        "server_behind_max_ms": round(srv.behind_max_s * 1e3, 3),
+        "fs": args.fs,
+    }
+    print(stats.summary())
+    print(f"real-time: {rec['rt_misses']} misses over {stats.n} iterations "
+          f"({rec['signal_seconds']:.1f} s of signal), margin "
+          f"{rec['margin_x']}x, server fell behind at most "
+          f"{rec['server_behind_max_ms']} ms")
+    if args.json:
+        with open(args.json, "w") as fo:
+            json.dump(rec, fo, indent=1)
+        print(f"wrote {args.json}")
+
+
 def cmd_console(args):
     from .console import Console
     Console().cmdloop()
@@ -803,6 +905,27 @@ def main(argv=None):
 
     pc = sub.add_parser("console", help="interactive flow console")
     pc.set_defaults(fn=cmd_console)
+
+    pl = sub.add_parser("live", help="live-paced real-time demo: serve the "
+                        "capture over TCP at true fs wall-clock and hold "
+                        "real time under the watchdog (RunLive)")
+    pl.add_argument("file", help="capture file to pace")
+    pl.add_argument("--handoff", required=True)
+    pl.add_argument("--fs", type=float, default=2.5e6)
+    pl.add_argument("--ds", type=float, default=1.0)
+    pl.add_argument("--seconds", type=float, default=None,
+                    help="stop after this much signal (default: full file)")
+    pl.add_argument("--lookahead", type=int, default=25,
+                    help="blocks per iteration (1 = per-block mode; "
+                    "latency K*20 ms, budget K*20 ms)")
+    pl.add_argument("--grid", default="spread",
+                    choices=["spread", "uniform", "arthur", "dense",
+                             "exponential"])
+    pl.add_argument("--grid-n", type=int, default=0)
+    pl.add_argument("--watchdog", type=float, default=1.5)
+    pl.add_argument("--set", action="append", default=[], metavar="K=V")
+    pl.add_argument("--json", help="write the run record here")
+    pl.set_defaults(fn=cmd_live)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--blocks", type=int, default=100)

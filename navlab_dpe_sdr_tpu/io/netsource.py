@@ -99,3 +99,62 @@ class FileReplayServer:
 
     def join(self):
         self._thread.join()
+
+
+class PacedReplayServer:
+    """Serve a capture over TCP at TRUE wall-clock sample rate.
+
+    The RunLive scenario the reference defines but never demonstrates
+    (sampleblock.cu:421-426: live sources deliver at the front-end rate
+    and the receiver must keep up or drop): bytes leave the socket on an
+    absolute schedule of fs samples/s (4 B/sample int16 I/Q), in
+    pace_chunk-sample chunks. `behind_max_s` records the furthest the
+    server itself ever fell behind its schedule (socket backpressure from
+    a receiver that stops draining shows up here).
+    """
+
+    def __init__(self, path: str, fs: float = 2.5e6, port: int = 0,
+                 start_byte: int = 0, pace_chunk: int = 12500):
+        self.path = path
+        self.fs = float(fs)
+        self.start_byte = start_byte
+        self.chunk_bytes = pace_chunk * 4
+        self.bytes_per_s = self.fs * 4.0
+        self.behind_max_s = 0.0
+        self.bytes_sent = 0
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", port))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        import time
+        conn, _ = self._srv.accept()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            with open(self.path, "rb") as fo:
+                fo.seek(self.start_byte)
+                t0 = time.perf_counter()
+                while True:
+                    chunk = fo.read(self.chunk_bytes)
+                    if not chunk:
+                        break
+                    target = t0 + self.bytes_sent / self.bytes_per_s
+                    now = time.perf_counter()
+                    if now < target:
+                        time.sleep(target - now)
+                    else:
+                        self.behind_max_s = max(self.behind_max_s,
+                                                now - target)
+                    conn.sendall(chunk)
+                    self.bytes_sent += len(chunk)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        finally:
+            conn.close()
+            self._srv.close()
+
+    def join(self, timeout=None):
+        self._thread.join(timeout)

@@ -58,11 +58,19 @@ class FlowRunner:
 
     def __init__(self, step_fn, watchdog_s: float | None = 1.5,
                  max_iterations: int | None = None,
-                 realtime_budget_s: float | None = None):
+                 realtime_budget_s: float | None = None,
+                 source_fn=None):
         self.step_fn = step_fn
         self.watchdog_s = watchdog_s
         self.max_iterations = max_iterations
         self.realtime_budget_s = realtime_budget_s
+        # source_fn: untimed per-iteration sample fetch. The reference
+        # starts iteration timing AFTER SampleBlock returns, isolating
+        # compute from I/O wait (flow.cu:132-135) — with a live-paced
+        # source the wait is wall-clock sample delivery, not work.
+        # source_fn returning None (or raising EOFError) ends the run;
+        # its result is passed to step_fn.
+        self.source_fn = source_fn
         self.stats = FlowStats()
         self.realtime_misses = 0
         self.keep_running = True
@@ -78,9 +86,17 @@ class FlowRunner:
             if self.max_iterations is not None and \
                     self.stats.n >= self.max_iterations:
                 break
+            if self.source_fn is not None:
+                try:
+                    blk = self.source_fn()
+                except EOFError:
+                    break
+                if blk is None:
+                    break
             t0 = time.perf_counter()
             try:
-                result = self.step_fn()
+                result = (self.step_fn(blk) if self.source_fn is not None
+                          else self.step_fn())
             except EOFError:
                 break
             dt = time.perf_counter() - t0

@@ -1,10 +1,13 @@
 """Native runtime (sample streamer, async logger) + flow runner tests."""
 
 import os
+import pathlib
 import time
 
 import numpy as np
 import pytest
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 from navlab_dpe_sdr_tpu.runtime.flow import FlowRunner, FlowStats, WatchdogError
 
@@ -215,3 +218,85 @@ def test_sample_stream_tcp(tmp_path):
         assert st.next_block() is None        # peer closed -> clean EOF
     t.join(timeout=2.0)
     srv.close()
+
+
+def test_paced_replay_server_rate(tmp_path):
+    """PacedReplayServer delivers at the configured wall-clock sample rate
+    (RunLive delivery model, sampleblock.cu:421-426)."""
+    import socket
+    import time
+
+    from navlab_dpe_sdr_tpu.io.netsource import PacedReplayServer
+
+    fs = 500_000.0                      # 2 MB/s — cheap to pace in a test
+    path = tmp_path / "cap.bin"
+    path.write_bytes(b"\x11" * int(fs * 4 * 2))      # 2 s of samples
+    srv = PacedReplayServer(str(path), fs=fs)
+    got = 0
+    t0 = time.perf_counter()
+    with socket.create_connection(("127.0.0.1", srv.port)) as c:
+        c.settimeout(2.0)
+        while time.perf_counter() - t0 < 0.6:
+            got += len(c.recv(65536))
+    elapsed = time.perf_counter() - t0
+    rate = got / elapsed
+    assert 0.75 * fs * 4 < rate < 1.25 * fs * 4, rate
+
+
+def test_flowrunner_source_split():
+    """Iteration timing starts after the source returns (flow.cu:132-135):
+    a slow source must NOT count against the real-time budget."""
+    import time
+
+    from navlab_dpe_sdr_tpu.runtime.flow import FlowRunner
+
+    n = {"i": 0}
+
+    def source():
+        if n["i"] >= 5:
+            return None
+        n["i"] += 1
+        time.sleep(0.05)                # sample delivery: 50 ms
+        return n["i"]
+
+    def step(blk):
+        time.sleep(0.002)               # compute: 2 ms
+        return blk
+
+    r = FlowRunner(step, watchdog_s=1.5, realtime_budget_s=0.02,
+                   source_fn=source)
+    stats = r.run()
+    assert stats.n == 5
+    assert r.realtime_misses == 0       # 50 ms waits never counted
+    assert stats.avg_s < 0.02
+
+
+def test_cli_live_paced(tmp_path):
+    """End-to-end live mode through the CLI: paced TCP delivery, batched
+    processing, drop accounting, JSON record."""
+    import json
+    import subprocess
+    import sys
+
+    cap, hand = tmp_path / "cap.dat", tmp_path / "hand.csv"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "synth", "--out", str(cap), "--handoff", str(hand),
+         "--seconds", "1.0", "--cn0", "50"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    out = tmp_path / "live.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "live", str(cap), "--handoff", str(hand), "--lookahead", "10",
+         "--seconds", "0.8", "--grid", "uniform", "--grid-n", "7",
+         "--watchdog", "60", "--json", str(out)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(out.read_text())
+    assert rec["blocks"] == 40
+    assert rec["iterations"] == 4
+    assert rec["server_behind_max_ms"] < 500.0
+    assert "rt_misses" in rec and "margin_x" in rec
