@@ -690,7 +690,14 @@ def _unpack_params(pk):
     return fpk, ipk, start
 
 
-_BATCH_CHUNK = 8192  # grid points per chunk in the block-batched scorer
+import os as _os
+
+# Grid points per chunk in the block-batched scorer. The default is pinned
+# (changing it changes every jit signature — expensive on runtimes with
+# per-program warmup); the env override exists for CPU-mesh scaling
+# studies where per-chunk barrier overhead vs cache footprint trades
+# differently than on TPU.
+_BATCH_CHUNK = int(_os.environ.get("NAVLAB_BATCH_CHUNK", "8192"))
 
 # Tap-operand dtype for the 3-tap scorer. None = auto at trace time:
 # bfloat16 on TPU (the one-hot is exact in bf16, window values round at

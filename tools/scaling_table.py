@@ -7,7 +7,7 @@ scaling, not N devices time-slicing the same cores.
 
 Single measurement:
     python tools/scaling_table.py --devices 2 [--grid-scale 2] [--iters 10]
-Full table (writes SCALING_r02.json):
+Full table (writes SCALING_r03.json):
     python tools/scaling_table.py --all
 
 The BASELINE north-star metric is grid-points/s scaling efficiency >= 80%
@@ -49,30 +49,41 @@ def run_all(grid_scales, iters: int, out: str) -> None:
     for gs in grid_scales:
         rows = []
         for n in counts:
-            cores = ",".join(str(c) for c in range(n))
-            cmd = ["taskset", "-c", cores, sys.executable,
-                   os.path.abspath(__file__),
-                   "--devices", str(n), "--grid-scale", str(gs),
-                   "--iters", str(iters)]
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=1800)
-            if r.returncode != 0:
-                print(r.stderr, file=sys.stderr)
-                raise SystemExit(f"measurement at {n} devices failed")
-            row = json.loads(r.stdout.strip().splitlines()[-1])
-            rows.append(row)
-            print(f"grid x{gs} devices={n:2d} cores={row['cores']} "
-                  f"{row['grid_points_per_s']:.3e} pts/s "
-                  f"({row['sec_per_block'] * 1e3:.1f} ms/block)")
+            chans = [c for c in (1, 2, 4, 8) if c <= n and n % c == 0]
+            for nc in chans:
+                cores = ",".join(str(c) for c in range(n))
+                cmd = ["taskset", "-c", cores, sys.executable,
+                       os.path.abspath(__file__),
+                       "--devices", str(n), "--chan", str(nc),
+                       "--grid-scale", str(gs), "--iters", str(iters)]
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=1800)
+                if r.returncode != 0:
+                    print(r.stderr, file=sys.stderr)
+                    raise SystemExit(f"measurement at {n} devices failed")
+                row = json.loads(r.stdout.strip().splitlines()[-1])
+                rows.append(row)
+                print(f"grid x{gs} devices={n:2d} mesh={row['mesh']} "
+                      f"{row['grid_points_per_s']:.3e} pts/s "
+                      f"({row['sec_per_block'] * 1e3:.1f} ms/block)",
+                      flush=True)
         base = rows[0]["grid_points_per_s"]
         for row in rows:
             row["efficiency_vs_1dev"] = (row["grid_points_per_s"] /
                                          (base * row["devices"]))
         n_pts = 2 * 390625 * gs
+        best = {}
+        for row in rows:
+            d = row["devices"]
+            if d not in best or row["grid_points_per_s"] >                     best[d]["grid_points_per_s"]:
+                best[d] = row
         regimes.append({"grid_points_per_block": n_pts,
-                        "grid_scale": gs, "rows": rows})
-        effs = {r["devices"]: round(r["efficiency_vs_1dev"], 3)
-                for r in rows}
+                        "grid_scale": gs, "rows": rows,
+                        "best_efficiency_per_devices": {
+                            str(d): round(r["efficiency_vs_1dev"], 3)
+                            for d, r in sorted(best.items())}})
+        effs = {f"{r['devices']}dev mesh{r['mesh']}":
+                round(r["efficiency_vs_1dev"], 3) for r in rows}
         print(f"grid x{gs} efficiency vs 1 device: {effs}")
 
     table = {
@@ -107,7 +118,7 @@ def main(argv=None):
     p.add_argument("--grid-scale", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--all", action="store_true")
-    p.add_argument("--out", default="SCALING_r02.json")
+    p.add_argument("--out", default="SCALING_r03.json")
     args = p.parse_args(argv)
     if args.all:
         run_all((1, 4, 8), args.iters, args.out)
