@@ -797,7 +797,8 @@ def _constrain_chan(mesh, out: "RealBlockOut", los_enu, fpk):
 
 def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
                        valid, interp: str, l_power: int, chunk: int,
-                       block_sum: bool, psum_axis: str | None):
+                       block_sum: bool, psum_axis: str | None,
+                       psum_group: int = 4):
     """Streaming (max, argmax) over a (local) grid slice.
 
     Scans grid chunks carrying the running best; tie-break keeps the first
@@ -807,36 +808,62 @@ def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
     batchcorrmanifold.h:17) fit. block_sum=True reduces the block axis
     (noncoherent integration) so best/arg are scalars instead of [N].
     psum_axis: mesh axis name carrying a channel shard (the C contraction
-    completes with a psum) — used inside shard_map only.
+    completes with a psum) — used inside shard_map only. psum_group: with
+    a psum_axis, score that many chunks per scan step and reduce them in
+    ONE collective — per-collective latency (CPU-mesh thread barriers,
+    ICI launch latency) otherwise dominates the chan-sharded scorer
+    (~135 us x 2 manifolds x G/chunk per batch, measured r3); the scoring
+    math and first-occurrence tie-break are unchanged.
     """
     n = win_mag.shape[0]
     off3_ch, off1_ch, valid_ch, chunk = _chunked_grid(off3, off1, chunk,
                                                       valid)
+    m = psum_group if psum_axis is not None else 1
+    n_chunks = off3_ch.shape[0]
+    if m > 1:
+        gpad = (-n_chunks) % m
+        off3_ch = jnp.pad(off3_ch, ((0, gpad), (0, 0), (0, 0)))
+        off1_ch = jnp.pad(off1_ch, ((0, gpad), (0, 0)))
+        valid_ch = jnp.pad(valid_ch, ((0, gpad), (0, 0)))
+        n_chunks = n_chunks + gpad
+        off3_ch = off3_ch.reshape(n_chunks // m, m, chunk, 3)
+        off1_ch = off1_ch.reshape(n_chunks // m, m, chunk)
+        valid_ch = valid_ch.reshape(n_chunks // m, m * chunk)
+        n_steps = n_chunks // m
+    else:
+        valid_ch = valid_ch.reshape(n_chunks, chunk)
+        n_steps = n_chunks
 
     def step(carry, xs):
         best, arg = carry
         o3, o1, vmask, k = xs
-        scores = _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
-                              interp, l_power)          # [N, chunk]
+        if m > 1:
+            scores = jnp.concatenate(
+                [_score_chunk(win_mag, los_enu, centers, coefs, r0,
+                              o3[i], o1[i], interp, l_power)
+                 for i in range(m)], axis=-1)           # [N, m*chunk]
+        else:
+            scores = _score_chunk(win_mag, los_enu, centers, coefs, r0,
+                                  o3, o1, interp, l_power)  # [N, chunk]
         if psum_axis is not None:
             scores = jax.lax.psum(scores, psum_axis)
         if block_sum:
-            scores = jnp.sum(scores, axis=0)            # [chunk]
+            scores = jnp.sum(scores, axis=0)            # [m*chunk]
         scores = jnp.where(vmask if block_sum else vmask[None, :],
                            scores, -jnp.inf)
         cb = jnp.max(scores, axis=-1)
-        ca = jnp.argmax(scores, axis=-1).astype(jnp.int32) + k * chunk
+        ca = (jnp.argmax(scores, axis=-1).astype(jnp.int32)
+              + k * np.int32(m * chunk))
         take = cb > best
         return (jnp.where(take, cb, best),
                 jnp.where(take, ca, arg).astype(jnp.int32)), None
 
-    n_chunks = off3_ch.shape[0]
     shape = () if block_sum else (n,)
     init = (jnp.full(shape, -jnp.inf, jnp.float32),
             jnp.zeros(shape, jnp.int32))
     (best, arg), _ = jax.lax.scan(
         step, init,
-        (off3_ch, off1_ch, valid_ch, jnp.arange(n_chunks, dtype=jnp.int32)))
+        (off3_ch, off1_ch, valid_ch, jnp.arange(n_steps, dtype=jnp.int32)))
     return best, arg
 
 

@@ -151,18 +151,28 @@ def pack_vel_inputs(dv_enu, dtdot, win_mag, los_enu, center, coef):
 # (the XLA one-hot path streams [N, C, chunk, W] per chunk).
 # ---------------------------------------------------------------------------
 
-CHUNK_TILE = 2048
+import os as _os
+
+CHUNK_TILE = int(_os.environ.get("NAVLAB_PALLAS_TILE", "2048"))
 
 
 def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
-                  w_real: int, quad_range: bool, l_power: int):
+                  w_real: int, quad_range: bool, l_power: int,
+                  tap_bf16: bool):
     # Mosaic wants >=2-D vectors throughout: every intermediate here is
     # [1, TILE] or [Wp, TILE]; nothing is ever rank-1 (a rank-1 iota /
     # vector fails TPU lowering — see round-2 advisor finding).
+    #
+    # v2 shape: the per-channel weight band is ONE one-hot compare
+    # [Wp, TILE] contracted on the MXU against 3 pre-shifted window rows
+    # ([3, Wp] @ [Wp, TILE]) — the same algorithm as the XLA hot path
+    # (ops.dpe_real._score_chunk) minus its HBM round-trip of the
+    # [N, C, chunk, W] one-hot (v1 built banded weights with 3 selects
+    # per element on the VPU and measured 2.8x slower than XLA).
     cand = cand_ref[:]                      # [8, TILE]
-    win = win_ref[0]                        # [Wp, C] (taps on sublanes)
+    win3 = win_ref[0]                       # [3, Wp, C] (k-1 / k / k+1)
     par = par_ref[0]                        # [8, C]
-    wp = win.shape[0]
+    wp = win3.shape[1]
     tile = cand.shape[1]
 
     c0, c1, c2 = cand[0:1], cand[1:2], cand[2:3]         # [1, TILE]
@@ -173,6 +183,7 @@ def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
     # integer iota + cast: Mosaic's tpu.iota only produces integer vectors
     kk = jax.lax.broadcasted_iota(jnp.int32, (wp, tile), 0).astype(
         jnp.float32)
+    tap_dt = jnp.bfloat16 if tap_bf16 else jnp.float32
     for c in range(n_chan):
         u = par[0, c] * c0 + par[1, c] * c1 + par[2, c] * c2  # [1, TILE]
         if quad_range:
@@ -181,20 +192,17 @@ def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
             drange = -u
         idx = par[4, c] + par[5, c] * (drange + dt)      # [1, TILE]
 
-        # 3-tap quadratic weights about k0 = round(idx) (same difference
-        # equations as ops.dpe_real._score_chunk)
         k0 = jnp.clip(jnp.round(idx), 1.0, w_real - 2.0)
         d = idx - k0
+        oh = (kk == k0).astype(tap_dt)                   # [Wp, TILE]
+        taps = jax.lax.dot_general(
+            win3[:, :, c].astype(tap_dt), oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [3, TILE]
         d2_ = d * d
-        w_m1 = 0.5 * (d2_ - d)
-        w_0 = 1.0 - d2_
-        w_p1 = 0.5 * (d2_ + d)
-        srel = kk - k0                      # [Wp, TILE] (bcast over rows)
-        wgt = (jnp.where(srel == -1.0, w_m1, 0.0)
-               + jnp.where(srel == 0.0, w_0, 0.0)
-               + jnp.where(srel == 1.0, w_p1, 0.0))      # [Wp, TILE]
-        vals = jnp.sum(win[:, c:c + 1] * wgt, axis=0,
-                       keepdims=True)       # [1, TILE]
+        vals = (0.5 * (d2_ - d) * taps[0:1]
+                + (1.0 - d2_) * taps[1:2]
+                + 0.5 * (d2_ + d) * taps[2:3])           # [1, TILE]
         if l_power == 1:
             acc = acc + vals
         else:
@@ -203,18 +211,21 @@ def _chunk_kernel(cand_ref, win_ref, par_ref, out_ref, *, n_chan: int,
 
 
 @functools.partial(jax.jit, static_argnames=("quad_range", "l_power",
-                                             "interpret"))
+                                             "interpret", "tap_bf16"))
 def score_chunk_pallas(win_mag: jax.Array, los_enu: jax.Array,
                        centers: jax.Array, coefs: jax.Array,
                        r0: jax.Array | None, o3: jax.Array, o1: jax.Array,
                        quad_range: bool = True, l_power: int = 1,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       tap_bf16: bool = False) -> jax.Array:
     """Batched-block chunk scores [N, G] (ops.dpe_real._score_chunk parity).
 
     win_mag: [N, C, W] f32; los_enu: [N, C, 3]; centers/coefs (and r0 for
     the position manifold): [N, C]; o3: [G, 3]; o1: [G]. Grid dims
-    (N, G/CHUNK_TILE); per program the [Wp, TILE] weight tile stays in
-    VMEM/registers.
+    (N, G/CHUNK_TILE); the one-hot and tap contraction never leave VMEM.
+    tap_bf16 runs the one-hot/tap MXU contraction with bf16 operands
+    (exact one-hot; window values round at bf16 — the trade the XLA path
+    makes on TPU by default).
     """
     n, c, w = win_mag.shape
     g = o3.shape[0]
@@ -226,8 +237,16 @@ def score_chunk_pallas(win_mag: jax.Array, los_enu: jax.Array,
         [o3.T.astype(jnp.float32), o1[None].astype(jnp.float32),
          jnp.zeros((4, g), jnp.float32)], axis=0)
     cand = jnp.pad(cand, ((0, 0), (0, pad)))               # [8, Gp]
-    win_t = jnp.pad(jnp.transpose(win_mag, (0, 2, 1)),
-                    ((0, 0), (0, wp - w), (0, 0)))          # [N, Wp, C]
+    # pre-shifted window rows (win[k-1], win[k], win[k+1]) so the kernel's
+    # MXU contraction of the one-hot reads all 3 taps in one dot
+    win_w = jnp.transpose(win_mag, (0, 2, 1))               # [N, W, C]
+    zrow = jnp.zeros_like(win_w[:, :1])
+    win3 = jnp.stack([
+        jnp.concatenate([zrow, win_w[:, :-1]], axis=1),     # win[k-1]
+        win_w,                                              # win[k]
+        jnp.concatenate([win_w[:, 1:], zrow], axis=1),      # win[k+1]
+    ], axis=1)                                              # [N, 3, W, C]
+    win_t = jnp.pad(win3, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
     r0_row = (jnp.ones_like(centers) if r0 is None else r0)
     par = jnp.stack([los_enu[..., 0].T, los_enu[..., 1].T,
                      los_enu[..., 2].T, r0_row.T, centers.T, coefs.T,
@@ -242,12 +261,13 @@ def score_chunk_pallas(win_mag: jax.Array, los_enu: jax.Array,
     # rejected for n not in {1, 8k} — round-2 advisor finding.)
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, n_chan=c, w_real=w,
-                          quad_range=quad_range, l_power=l_power),
+                          quad_range=quad_range, l_power=l_power,
+                          tap_bf16=tap_bf16),
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec((8, CHUNK_TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wp, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 3, wp, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -14,6 +14,7 @@ Writes one JSON line per variant to stdout; run to completion, NEVER
 abort mid-warmup (an aborted first execution can wedge the tunnel).
 """
 
+import functools
 import json
 import sys
 import time
@@ -75,18 +76,20 @@ def main():
 
     interp_mode = bool(int(os.environ.get("PT_INTERPRET", "0")))
 
-    def step_pallas(carry, ws):
+    def step_pallas(carry, ws, bf16=False):
         cw, xw = ws
         ps = pk.score_chunk_pallas(cw, los, pcen, pcoef, r0, o3p, o1p,
-                                   interpret=interp_mode)
+                                   interpret=interp_mode, tap_bf16=bf16)
         vs = pk.score_chunk_pallas(xw, los, vcen, vcoef, None, o3v, o1v,
-                                   quad_range=False, interpret=interp_mode)
+                                   quad_range=False, interpret=interp_mode,
+                                   tap_bf16=bf16)
         upd = (jnp.sum(jnp.max(ps, axis=1)) + jnp.sum(jnp.max(vs, axis=1))
                + jnp.sum(jnp.argmax(ps, axis=1)).astype(jnp.float32)
                + jnp.sum(jnp.argmax(vs, axis=1)).astype(jnp.float32))
         return carry + upd, None
 
-    steps = {"xla": step_xla, "pallas": step_pallas}
+    steps = {"xla": step_xla, "pallas": step_pallas,
+             "pallas_bf16": functools.partial(step_pallas, bf16=True)}
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
 
