@@ -703,9 +703,14 @@ _BATCH_CHUNK = int(_os.environ.get("NAVLAB_BATCH_CHUNK", "8192"))
 # bfloat16 on TPU (the one-hot is exact in bf16, window values round at
 # ~0.4% — far below score noise — and the MXU contraction runs 2x faster;
 # accumulation stays float32 via preferred_element_type), float32 on
-# CPU/GPU. Set to a dtype to override (tests pin float32 for bitwise
-# comparisons).
-SCORE_TAP_DTYPE = None
+# CPU/GPU. jnp.int8 selects the quantized path (one-hot exact, windows
+# at max/127 per block-channel — HALF the HBM traffic of bf16 on the
+# scorer's bottleneck tensor; see _score_chunk). Set via this module
+# attribute (tests pin float32 for bitwise comparisons) or the
+# NAVLAB_SCORE_TAPS env var (f32 | bf16 | int8).
+_TAPS_ENV = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+             "int8": jnp.int8}.get(_os.environ.get("NAVLAB_SCORE_TAPS", ""))
+SCORE_TAP_DTYPE = _TAPS_ENV
 
 
 def _tap_dtype():
@@ -740,15 +745,31 @@ def _score_chunk(win_mag, los_enu, centers, coefs, r0, o3, o1,
         d = idx - k0
         k = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, w), 3)
         tap_dt = _tap_dtype()
-        oh = (k0[..., None] == k).astype(tap_dt)        # [N,C,chunk,W]
         zeros = jnp.zeros_like(win_mag[:, :, :1])
         win_taps = jnp.stack([
             jnp.concatenate([zeros, win_mag[:, :, :-1]], axis=2),  # win[k-1]
             win_mag,                                               # win[k]
             jnp.concatenate([win_mag[:, :, 1:], zeros], axis=2),   # win[k+1]
-        ], axis=-1).astype(tap_dt)                      # [N,C,W,3]
-        taps = jnp.einsum("ncgw,ncwt->ncgt", oh, win_taps,
-                          preferred_element_type=jnp.float32)
+        ], axis=-1)                                     # [N,C,W,3]
+        if tap_dt == jnp.int8:
+            # int8 one-hot path: the scorer is HBM-bound on the one-hot
+            # tensor, and the one-hot is EXACT in any integer dtype —
+            # int8 halves its traffic vs bf16. Windows quantize per
+            # (block, channel) at max/127 (~0.8% of peak — the same
+            # class as bf16's 0.4% rounding, far below score noise);
+            # the MXU contracts int8 x int8 -> int32 and the scale is
+            # restored per (n, c) afterwards.
+            oh = (k0[..., None] == k).astype(jnp.int8)
+            scale = jnp.max(win_taps, axis=(2, 3)) / 127.0   # [N, C]
+            wq = jnp.round(win_taps / scale[..., None, None]
+                           ).astype(jnp.int8)
+            taps = jnp.einsum("ncgw,ncwt->ncgt", oh, wq,
+                              preferred_element_type=jnp.int32)
+            taps = taps.astype(jnp.float32) * scale[..., None, None]
+        else:
+            oh = (k0[..., None] == k).astype(tap_dt)    # [N,C,chunk,W]
+            taps = jnp.einsum("ncgw,ncwt->ncgt", oh, win_taps.astype(tap_dt),
+                              preferred_element_type=jnp.float32)
         d2_ = d * d
         vals = (0.5 * (d2_ - d) * taps[..., 0]
                 + (1.0 - d2_) * taps[..., 1]

@@ -573,3 +573,41 @@ def test_windowed_nonzero_time_origin():
         assert rel.max() < 5e-3, (name, rel.max())
     assert int(np.argmax(np.asarray(fac.code_mag)[0])) == int(
         np.argmax(np.asarray(direct.code_mag)[0]))
+
+
+def test_int8_tap_scoring_matches_f32():
+    """int8-quantized tap path (halved one-hot HBM traffic): within the
+    auto_windows no-clipping guarantee, scores match f32 to the window
+    quantization class (~1% of peak) with identical argmaxes."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, c, w, g = 4, 8, 24, 20000
+    win = np.abs(rng.standard_normal((n, c, w))).astype(np.float32) * 0.3 + 0.1
+    win[:, :, 10:15] += [2, 6, 9, 6, 2]
+    los = rng.standard_normal((n, c, 3)).astype(np.float32)
+    los /= np.linalg.norm(los, axis=2, keepdims=True)
+    cen = (np.full((n, c), 12.0) + rng.standard_normal((n, c)) * 0.3
+           ).astype(np.float32)
+    coef = np.full((n, c), 0.02, np.float32)
+    r0 = np.full((n, c), 2.2e7, np.float32)
+    # spans sized so idx stays inside [1, w-2] — the regime auto_windows
+    # guarantees in production (no clipped extrapolation)
+    o3 = (rng.standard_normal((g, 3)) * 120).astype(np.float32)
+    o1 = (rng.standard_normal(g) * 80).astype(np.float32)
+
+    outs = {}
+    old = dpe_real_ops.SCORE_TAP_DTYPE
+    try:
+        for name, dt in [("f32", jnp.float32), ("int8", jnp.int8)]:
+            dpe_real_ops.SCORE_TAP_DTYPE = dt
+            outs[name] = np.asarray(dpe_real_ops._score_chunk(
+                jnp.asarray(win), jnp.asarray(los), jnp.asarray(cen),
+                jnp.asarray(coef), jnp.asarray(r0), jnp.asarray(o3),
+                jnp.asarray(o1), "quadratic", 1))
+    finally:
+        dpe_real_ops.SCORE_TAP_DTYPE = old
+    f, q = outs["f32"], outs["int8"]
+    rel = np.abs(q - f).max() / np.abs(f).max()
+    assert rel < 0.015, rel
+    np.testing.assert_array_equal(q.argmax(1), f.argmax(1))

@@ -89,11 +89,14 @@ def main():
         return carry + upd, None
 
     steps = {"xla": step_xla, "pallas": step_pallas,
+             "xla_int8": step_xla,   # selected via SCORE_TAP_DTYPE below
              "pallas_bf16": functools.partial(step_pallas, bf16=True)}
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
 
     for name in variants:
+        dpe_real.SCORE_TAP_DTYPE = (jnp.int8 if name == "xla_int8"
+                                    else dpe_real._TAPS_ENV)
         fn = jax.jit(lambda ws, _s=steps[name]:
                      jax.lax.scan(_s, jnp.float32(0.0), ws)[0])
         data = wins()
