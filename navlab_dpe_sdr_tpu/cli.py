@@ -553,6 +553,25 @@ def cmd_live(args):
                        ds=args.ds)
     rx = DPEReceiver(donor, hand, grid=grid, config=cfg)
     k = max(1, args.lookahead)
+
+    # pre-warm the compute pipeline before going live (a real receiver
+    # warms up before the antenna goes hot): run one batch of zeros
+    # through a THROWAWAY receiver so jit compilation/first-execution cost
+    # never lands inside the watchdog window. The jit cache is shared;
+    # the real receiver's state is untouched.
+    import copy as _copy
+    warm_rx = DPEReceiver(donor, _copy.deepcopy(hand), grid=grid,
+                          config=cfg)
+    zblk = np.zeros((k, warm_rx.S, 2), np.int16)
+    t0 = _time.perf_counter()
+    if k == 1:
+        warm_rx.step(raw_block=np.zeros(warm_rx.S, np.complex128))
+    else:
+        warm_rx.run_batched(k, lookahead=k,
+                            raw_blocks_dev=jnp.asarray(zblk))
+    del warm_rx
+    print(f"pipeline warmup: {_time.perf_counter() - t0:.1f} s")
+
     stream = open_tcp_source("127.0.0.1", srv.port, block_samples=rx.S,
                              timeout_s=args.watchdog)
     n_blocks = int(round(args.seconds / cfg.T)) if args.seconds else 10 ** 9
