@@ -221,7 +221,10 @@ def cmd_dpe(args):
             for f in rx.fixes:
                 writer.write(f)
     elif args.batched:
-        rx.run_batched(n_blocks, lookahead=args.lookahead)
+        gk = max(1, args.group_k)
+        if gk > 1:
+            n_blocks -= n_blocks % gk
+        rx.run_batched(n_blocks, lookahead=args.lookahead, group_k=gk)
         if writer:
             for f in rx.fixes:
                 writer.write(f)
@@ -782,6 +785,11 @@ def main(argv=None):
                          "block (K x cheaper; enables dense-grid "
                          "integration in real time)")
     pd.add_argument("--lookahead", type=int, default=25)
+    pd.add_argument("--group-k", type=int, default=1, metavar="K",
+                    help="with --batched: coherent-group K consecutive "
+                         "blocks on device before manifold scoring (one "
+                         "fix per K blocks at ~1/K scoring cost; K must "
+                         "divide --lookahead)")
     pd.add_argument("--watchdog", type=float, default=1.5)
     pd.add_argument("--verbose", action="store_true")
     pd.add_argument("--set", action="append", metavar="KEY=VALUE",

@@ -964,7 +964,7 @@ class DPEReceiver:
         return fix
 
     def _dispatch_batch(self, n, raw_blocks_dev, start_block, done,
-                        raw_staged=None):
+                        raw_staged=None, group_k: int = 1):
         preps = self._prepare_batch(n)
         fpk = np.stack([p[0] for p in preps])                   # [N, 11, C]
         ipk = np.stack([p[1] for p in preps])                   # [N, 3, C]
@@ -992,7 +992,8 @@ class DPEReceiver:
             return_windows=(self.cfg.refine == "newton"
                             or self.cfg.ekf_mode == "full"),
             mesh=self.cfg.mesh,
-            code_win=self.code_win, carr_win=self.carr_win)
+            code_win=self.code_win, carr_win=self.carr_win,
+            group_k=group_k)
         try:
             # queue the device->host copy now: it runs as soon as the batch
             # finishes on device, overlapping the NEXT batch's host prep, so
@@ -1002,7 +1003,7 @@ class DPEReceiver:
             pass
         return out, preps
 
-    def _drain_batch(self, out, preps):
+    def _drain_batch(self, out, preps, group_k: int = 1):
         rows = np.asarray(out)                                  # one fetch
         c = len(self.prn_list)
         cw = self.code_win
@@ -1016,8 +1017,11 @@ class DPEReceiver:
             carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
         else:
             code_mags = carr_mags = None
-        for i in range(len(preps)):
-            fpk, _, r_e2n, rx_time, mc, x_pred = preps[i]
+        for i in range(rows.shape[0]):
+            # group_k > 1: one row per K-block coherent group, referenced
+            # to the group's LAST block's prediction (same convention as
+            # dpe_scan_integrate)
+            fpk, _, r_e2n, rx_time, mc, x_pred = preps[(i + 1) * group_k - 1]
             if self.cfg.refine == "newton":
                 self._apply_refined(fpk, r_e2n, rx_time, mc,
                                     int(pas[i]), int(vas[i]),
@@ -1394,7 +1398,7 @@ class DPEReceiver:
 
     def run_batched(self, n_blocks: int, lookahead: int = 25,
                     raw_blocks_dev=None, start_block: int = 0,
-                    pipeline: bool = False):
+                    pipeline: bool = False, group_k: int = 1):
         """High-throughput mode: N blocks per device dispatch.
 
         Per batch: two packed parameter uploads + one fused scan dispatch +
@@ -1409,12 +1413,25 @@ class DPEReceiver:
         raw_blocks_dev: optional device-resident int16 capture [B, S, 2]
         covering blocks start_block..; if None, blocks are read from the
         SampleFile and uploaded per batch.
+
+        group_k > 1: coherent-grouped fixes — every block is still
+        correlated, but each group of group_k consecutive blocks is
+        coherently summed on device before manifold scoring, producing one
+        fix per group (fix rate 1/(group_k*T) Hz). Manifold scoring
+        dominates the dispatch at product shapes, so throughput rises
+        toward the correlation-only bound while fix accuracy at practical
+        C/N0 is equal or better (score noise integrates down ~sqrt(K)).
+        Requires lookahead and n_blocks to be multiples of group_k.
         """
         if self.cfg.engine != "real":
             raise ValueError(
                 "batched mode runs on engine='real' only; engine='fft' is "
                 "the per-block cross-validation oracle (see "
                 "DPEConfig.engine)")
+        if group_k > 1 and (lookahead % group_k or n_blocks % group_k):
+            raise ValueError(
+                f"group_k={group_k} must divide lookahead={lookahead} "
+                f"and n_blocks={n_blocks}")
         self._check_batch_mode(raw_blocks_dev, start_block, n_blocks)
         sizes = []
         left = n_blocks
@@ -1433,16 +1450,17 @@ class DPEReceiver:
                 staged = prefetch.get() if prefetch is not None else None
                 out, preps = self._dispatch_batch(n, raw_blocks_dev,
                                                   start_block, done,
-                                                  raw_staged=staged)
+                                                  raw_staged=staged,
+                                                  group_k=group_k)
                 done += n
                 if pipeline:
                     if pending is not None:
-                        self._drain_batch(*pending)
+                        self._drain_batch(*pending, group_k=group_k)
                     pending = (out, preps)
                 else:
-                    self._drain_batch(out, preps)
+                    self._drain_batch(out, preps, group_k=group_k)
             if pending is not None:
-                self._drain_batch(*pending)
+                self._drain_batch(*pending, group_k=group_k)
             return self.fixes
         finally:
             if prefetch is not None:

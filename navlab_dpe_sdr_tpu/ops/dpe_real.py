@@ -977,14 +977,16 @@ def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
                                              "n_periods", "n_blocks",
                                              "l_power", "interp",
                                              "return_windows", "mesh",
-                                             "code_win", "carr_win"))
+                                             "code_win", "carr_win",
+                                             "group_k"))
 def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
                      d_enu, dt_m, dv_enu, dtdot,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, l_power: int = 1,
                      interp: str = "quadratic",
                      return_windows: bool = True, mesh=None,
-                     code_win: int = CODE_WIN, carr_win: int = CARR_WIN):
+                     code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
+                     group_k: int = 1):
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
     pk: [N, PK_ROWS, C] float32 packed per-block parameters + start index
@@ -1004,11 +1006,38 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
     axes — manifold scoring shards over grid points, correlation windows
     over channels; results replicate. The multi-device product path
     (SURVEY §2.3 P7; reference gap at architecture.txt:92-101).
+
+    group_k > 1: coherent grouping — all n_blocks are still correlated in
+    one vmapped pass, but each group of group_k consecutive blocks is
+    coherently summed (complex windows, data-aided nav-bit alignment —
+    _coherent_sum) before manifold scoring, returning n_blocks/group_k
+    rows. Manifold scoring is the HBM-bound majority of the dispatch
+    (~13.9 of ~24 ms at 50-block/25^4 product shape, measured r3), so
+    scoring once per K blocks instead of per block is the throughput
+    lever past the per-block scorer's traffic floor; accuracy at
+    practical C/N0 matches per-block fixes (see dpe_scan_integrate:
+    coherent buys COST, not dB). Each group's row is referenced to its
+    LAST block's prediction; flips reported are the last block's.
     """
     fpk, ipk, start = _unpack_params(pk)
-    out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
-                           time_idc, carr_fftpts, period, n_periods,
-                           n_blocks, code_win, carr_win)
+    if group_k > 1:
+        if n_blocks % group_k:
+            raise ValueError(f"n_blocks {n_blocks} % group_k {group_k} != 0")
+        g = n_blocks // group_k
+        outc = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                                time_idc, carr_fftpts, period, n_periods,
+                                n_blocks, code_win, carr_win,
+                                complex_out=True)
+        outg = jax.vmap(_coherent_sum)(RealBlockOutC(
+            *(x.reshape((g, group_k) + x.shape[1:]) for x in outc)))
+        out = RealBlockOut(code_mag=outg.code_mag[:, 0],
+                           carr_mag=outg.carr_mag[:, 0],
+                           flip_used=outg.flip_used[:, -1])    # [G, C, W]
+        fpk = fpk[group_k - 1::group_k]                        # [G, ...]
+    else:
+        out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
+                               time_idc, carr_fftpts, period, n_periods,
+                               n_blocks, code_win, carr_win)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
     out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
     pb, pa = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],

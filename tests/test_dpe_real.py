@@ -407,6 +407,76 @@ def test_coherent_integration():
     assert meds["coh"] < 1.6 * meds["noncoh"] + 5.0, meds
 
 
+def test_grouped_batched_matches_integrated():
+    """group_k coherent grouping inside the batched dispatcher must compute
+    exactly what run_integrated(coherent=True) computes: with one group per
+    batch (lookahead == group_k == blocks_per_fix) the preps, the complex
+    correlate + data-aided coherent sum, and the measurement sequencing are
+    identical, so the fixes must match to float tolerance."""
+    import copy
+
+    sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=45.0)
+    n = 50000 * 16
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+
+    rx_g = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), grid=spread_grid(),
+                       eph=copy.deepcopy(arr))
+    rx_g.run_batched(16, lookahead=8, group_k=8)
+    rx_i = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), grid=spread_grid(),
+                       eph=copy.deepcopy(arr))
+    rx_i.run_integrated(2, blocks_per_fix=8, coherent=True)
+
+    assert len(rx_g.fixes) == len(rx_i.fixes) == 2
+    for fg, fi_ in zip(rx_g.fixes, rx_i.fixes):
+        assert fg.mc == fi_.mc
+        np.testing.assert_allclose(fg.x_ecef, fi_.x_ecef, atol=1e-6)
+        np.testing.assert_allclose(fg.pos_score, fi_.pos_score, rtol=1e-5)
+
+
+def test_grouped_batched_throughput_shape_converges():
+    """The throughput shape (several groups per dispatch, pipeline=True)
+    must converge from a 52 m initial offset like the per-block batched
+    mode — one fix per group, steering at batch boundaries."""
+    import copy
+
+    from navlab_dpe_sdr_tpu.libgnss import frames
+
+    sim, hand, arr = make_scenario(nav_data=True)
+    n = 50000 * 24
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+    truth = hand.x_ecef.copy()
+    hand.x_ecef[0:3] = frames.enu_to_ecef(truth[0:3],
+                                          np.array([30.0, -40.0, 15.0]))
+    rx = DPEReceiver(SampleFile(samples=samples, fs=FS),
+                     copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    rx.run_batched(24, lookahead=8, group_k=4, pipeline=True)
+    assert len(rx.fixes) == 6
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx.fixes]
+    assert np.median(errs[-3:]) < 20.0, [round(e, 1) for e in errs]
+
+
+def test_grouped_batched_validates_divisibility():
+    import copy
+
+    sim, hand, arr = make_scenario(nav_data=True)
+    rx = DPEReceiver(SampleFile(samples=np.zeros(50000 * 8, DTYPE_IQ16),
+                                fs=FS),
+                     copy.deepcopy(hand), grid=spread_grid(),
+                     eph=copy.deepcopy(arr))
+    with pytest.raises(ValueError, match="group_k"):
+        rx.run_batched(8, lookahead=6, group_k=4)
+
+
 def test_dpe_checkpoint_resume_via_handoff():
     """DPEReceiver.save_handoff is a faithful mid-run checkpoint: stopping
     after 8 blocks and resuming a fresh receiver from the CSV reproduces
