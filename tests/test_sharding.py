@@ -119,3 +119,22 @@ def test_receiver_mesh_per_block_and_integrated():
     rxi.run_integrated(2, blocks_per_fix=4)
     for f1, f2 in zip(rx_ref.fixes, rxi.fixes):
         np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
+
+
+def test_receiver_mesh_grouped_batched_matches_single():
+    """Coherent-grouped batched mode (group_k) on the mesh: grouping happens
+    before the chan/grid sharding constraints, so the sharded scorer sees
+    [G, C, W] group windows — fixes must match the single-device grouped
+    run bit-for-bit."""
+    samples, hand, arr, truth = _scenario_samples(16)
+    rx1 = _mk_rx(samples, hand, arr)
+    rx1.run_batched(16, lookahead=8, group_k=4)
+    m = pmesh.make_mesh(n_grid=4, n_chan=2)
+    rx2 = _mk_rx(samples, hand, arr, mesh=m)
+    rx2.run_batched(16, lookahead=8, group_k=4)
+    assert len(rx1.fixes) == len(rx2.fixes) == 4
+    for f1, f2 in zip(rx1.fixes, rx2.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+            for f in rx2.fixes]
+    assert np.median(errs[-2:]) < 25.0, errs
