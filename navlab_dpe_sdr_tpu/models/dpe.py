@@ -1398,7 +1398,8 @@ class DPEReceiver:
 
     def run_batched(self, n_blocks: int, lookahead: int = 25,
                     raw_blocks_dev=None, start_block: int = 0,
-                    pipeline: bool = False, group_k: int = 1):
+                    pipeline: bool = False, group_k: int = 1,
+                    pipeline_depth: int = 1):
         """High-throughput mode: N blocks per device dispatch.
 
         Per batch: two packed parameter uploads + one fused scan dispatch +
@@ -1408,7 +1409,12 @@ class DPEReceiver:
 
         pipeline=True overlaps host preparation of batch k+1 with device
         execution of batch k (dispatch is asynchronous) at the cost of one
-        extra batch of prediction staleness.
+        extra batch of prediction staleness. pipeline_depth (>=1) keeps up
+        to that many dispatched batches in flight before draining the
+        oldest: depth 2 hides a full upload+fetch RPC round-trip behind
+        device compute on remote-attached accelerators, at depth batches
+        of staleness (predictions coast depth*lookahead*T seconds between
+        measurement feedbacks).
 
         raw_blocks_dev: optional device-resident int16 capture [B, S, 2]
         covering blocks start_block..; if None, blocks are read from the
@@ -1444,23 +1450,21 @@ class DPEReceiver:
         prefetch = (_RawPrefetcher(self.rawfile, sizes)
                     if raw_blocks_dev is None else None)
         try:
+            from collections import deque
             done = 0
-            pending = None
+            depth = max(1, int(pipeline_depth)) if pipeline else 0
+            pending = deque()
             for n in sizes:
                 staged = prefetch.get() if prefetch is not None else None
-                out, preps = self._dispatch_batch(n, raw_blocks_dev,
-                                                  start_block, done,
-                                                  raw_staged=staged,
-                                                  group_k=group_k)
+                pending.append(self._dispatch_batch(n, raw_blocks_dev,
+                                                    start_block, done,
+                                                    raw_staged=staged,
+                                                    group_k=group_k))
                 done += n
-                if pipeline:
-                    if pending is not None:
-                        self._drain_batch(*pending, group_k=group_k)
-                    pending = (out, preps)
-                else:
-                    self._drain_batch(out, preps, group_k=group_k)
-            if pending is not None:
-                self._drain_batch(*pending, group_k=group_k)
+                if len(pending) > depth:
+                    self._drain_batch(*pending.popleft(), group_k=group_k)
+            while pending:
+                self._drain_batch(*pending.popleft(), group_k=group_k)
             return self.fixes
         finally:
             if prefetch is not None:

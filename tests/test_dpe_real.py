@@ -166,6 +166,16 @@ def test_pipelined_batched_accuracy():
             for f in rx.fixes]
     assert np.median(errs[-6:]) < 20.0, [round(e, 1) for e in errs]
 
+    # depth-2 pipeline (two batches in flight, two batches of prediction
+    # staleness) must also converge
+    rx2 = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                      copy.deepcopy(hand), grid=spread_grid(),
+                      eph=copy.deepcopy(arr))
+    rx2.run_batched(18, lookahead=6, pipeline=True, pipeline_depth=2)
+    errs2 = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+             for f in rx2.fixes]
+    assert np.median(errs2[-6:]) < 20.0, [round(e, 1) for e in errs2]
+
 
 def test_integrated_dpe_beats_per_block():
     """Noncoherent K-block score integration must reduce fix error below the

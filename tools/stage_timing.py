@@ -1,9 +1,12 @@
 """Per-stage TPU timing of the product 50-block dispatch (chained scan).
 
 Where do the ~24 ms of a 50-block dpe_batch_blocks dispatch go?
-  full  — spread 25^4 grid (correlation + pos/vel scoring)
-  corr  — 256-point grid (scoring ~free: correlation + fixed overhead)
-The difference is the manifold-scoring cost at product shape.
+  full     — spread 25^4 grid (correlation + pos/vel scoring)
+  corr     — 256-point grid (scoring ~free: correlation + fixed overhead)
+  full_g5  — spread grid with group_k=5 coherent grouping (correlation +
+             1/5 the scoring passes) — the grouped bench mode's device cost
+The full-corr difference is the manifold-scoring cost at product shape;
+full_g5 vs corr shows how close grouping gets to the correlation floor.
 
 Same trust rules as tools/pallas_timing.py: chained lax.scan over
 pre-uploaded varying inputs, single scalar fetch, never abort a warmup.
@@ -54,8 +57,9 @@ def main():
           flush=True)
 
     for name in variants:
-        g = spread_grid() if name == "full" else uniform_grid(
-            n=4, pos_spacing=5.0, vel_spacing=0.5)
+        group_k = 5 if name.endswith("_g5") else 1
+        g = (spread_grid() if name.startswith("full") else uniform_grid(
+            n=4, pos_spacing=5.0, vel_spacing=0.5))
         cw, vw = auto_windows(g.d_enu, g.dt_m, g.dv_enu, g.dtdot, 2.5e6,
                               meta["carr_fftpts"])
         f2, i2 = fpk.copy(), ipk.copy()
@@ -69,12 +73,13 @@ def main():
         dtdot = jnp.asarray(g.dtdot.astype(np.float32))
 
         def step(carry, xs, _cw=int(cw), _vw=int(vw), _d=d_enu, _t=dt_m,
-                 _v=dv_enu, _td=dtdot):
+                 _v=dv_enu, _td=dtdot, _gk=group_k):
             pk_k, start_k = xs
             rows = dr.dpe_batch_blocks(
                 raw_all, pk_k, chips, base0, time_idc, _d, _t, _v, _td,
                 meta["carr_fftpts"], meta["period"], meta["n_periods"], N,
-                return_windows=False, code_win=_cw, carr_win=_vw)
+                return_windows=False, code_win=_cw, carr_win=_vw,
+                group_k=_gk)
             return carry + jnp.sum(rows), None
 
         fn = jax.jit(lambda xs, _s=step:
