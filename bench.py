@@ -24,15 +24,26 @@ def main():
 
     import jax
 
-    from navlab_dpe_sdr_tpu.cli import _axon_tunnel_alive
+    from navlab_dpe_sdr_tpu.cli import _axon_device_answers, _axon_tunnel_alive
 
-    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _axon_tunnel_alive():
-        print("# axon tunnel down (no relay listener) — CPU fallback",
-              file=sys.stderr)
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        if not _axon_tunnel_alive():
+            print("# axon tunnel down (no relay listener) — CPU fallback",
+                  file=sys.stderr)
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+        elif not _axon_device_answers():
+            # the relay listener can survive a dead remote orchestrator, in
+            # which case jax.devices() hangs forever — probe from a killable
+            # subprocess and fall back rather than hang the whole bench
+            print("# axon relay up but device not answering — CPU fallback",
+                  file=sys.stderr)
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
 
     from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
     from navlab_dpe_sdr_tpu.io.scenario import make_scenario

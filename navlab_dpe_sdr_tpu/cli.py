@@ -668,6 +668,61 @@ def _axon_tunnel_alive() -> bool:
     return False
 
 
+_AXON_PROBE_CACHE = "/tmp/navlab_axon_probe.json"
+
+
+def _axon_device_answers(timeout_s: float = 300.0,
+                         cache_s: float = 600.0) -> bool:
+    """True if ``jax.devices()`` actually returns on the axon backend.
+
+    The relay listener can be up while the remote orchestrator behind it
+    is dead, in which case the plugin hangs *forever* inside
+    ``jax.devices()`` (observed: listener accepts, claim leg never
+    answers). Probe from a disposable subprocess with a hard timeout so
+    the parent process can fall back to CPU instead of hanging. The
+    result (either way) is cached on disk for ``cache_s`` seconds so
+    repeated CLI invocations don't each pay the probe.
+    """
+    import json as _json
+    import os
+    import subprocess
+    import time as _time
+
+    try:
+        with open(_AXON_PROBE_CACHE) as fo:
+            rec = _json.load(fo)
+        # a healthy device stays trusted longer (the probe itself costs a
+        # ~2 min first-execution warmup on this runtime); a dead verdict is
+        # re-checked sooner so recovery is noticed
+        ttl = 6 * cache_s if rec.get("ok") else cache_s
+        if _time.time() - rec["ts"] < ttl:
+            return bool(rec["ok"])
+    except (OSError, ValueError, KeyError):
+        pass
+    ok = True
+    # devices() can answer while execution wedges (observed: enumeration
+    # returns in seconds, any dispatch hangs) — probe a tiny reduce too
+    probe_src = ("import jax, jax.numpy as jnp;"
+                 "jax.devices();"
+                 "print(float(jnp.ones((8, 8)).sum()))")
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe_src],
+            env=os.environ, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, timeout=timeout_s, check=True)
+    except subprocess.TimeoutExpired:
+        ok = False
+    except subprocess.CalledProcessError:
+        ok = False
+    try:
+        with open(_AXON_PROBE_CACHE + ".tmp", "w") as fo:
+            _json.dump({"ts": _time.time(), "ok": ok}, fo)
+        os.replace(_AXON_PROBE_CACHE + ".tmp", _AXON_PROBE_CACHE)
+    except OSError:
+        pass
+    return ok
+
+
 def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
     """Pin the JAX backend. Env vars are pre-empted in some environments, so
     use the config API (must run before backend initialization)."""
@@ -676,11 +731,15 @@ def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
     import jax
     force_cpu = choice == "cpu" or (choice == "auto" and default_cpu)
     if (not force_cpu and choice != "tpu"
-            and os.environ.get("PALLAS_AXON_POOL_IPS")
-            and not _axon_tunnel_alive()):
-        print("warning: axon tunnel down (no relay listener) — CPU fallback",
-              file=sys.stderr)
-        force_cpu = True
+            and os.environ.get("PALLAS_AXON_POOL_IPS")):
+        if not _axon_tunnel_alive():
+            print("warning: axon tunnel down (no relay listener) — "
+                  "CPU fallback", file=sys.stderr)
+            force_cpu = True
+        elif not _axon_device_answers():
+            print("warning: axon relay up but device not answering "
+                  "(probe timed out) — CPU fallback", file=sys.stderr)
+            force_cpu = True
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         if cpu_devices:
