@@ -671,7 +671,7 @@ def _axon_tunnel_alive() -> bool:
 _AXON_PROBE_CACHE = "/tmp/navlab_axon_probe.json"
 
 
-def _axon_device_answers(timeout_s: float = 300.0,
+def _axon_device_answers(timeout_s: float = 900.0,
                          cache_s: float = 600.0) -> bool:
     """True if ``jax.devices()`` actually returns on the axon backend.
 
