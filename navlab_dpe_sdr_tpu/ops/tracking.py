@@ -179,12 +179,47 @@ def _chips_gather(code_table: jax.Array, base: jax.Array,
     return jnp.take_along_axis(code_table, idx, axis=1)
 
 
-def _chips(code_table, base, phase):
-    """Pick the lookup strategy at trace time: one-hot matmul where XLA
-    gather is unavailable (axon TPU), direct gather everywhere else."""
+def _epl_onehot(code_table: jax.Array, base: jax.Array,
+                phase: jax.Array) -> jax.Array:
+    """All three E/P/L replicas from ONE half-chip one-hot contraction.
+
+    The taps chips[floor(x+1/2)], chips[floor(x)], chips[floor(x-1/2)]
+    are all determined by j = floor(2x):  floor(x+1/2) == (j+1)//2,
+    floor(x) == j//2, floor(x-1/2) == (j-1)//2 (exact integer identities).
+    So one one-hot over 2046 half-chip bins against a [C, 2046, 3] table
+    replaces three 1023-bin lookups — 2/3 the VPU compare volume and one
+    MXU contraction instead of three. The table is built gather-free:
+    repeat(code, 2) gives the P row; rolling it by -/+1 gives E/L.
+
+    code_table: [C, 1023]; base: [S]; phase: [C]. Returns [C, S, 3]
+    (E, P, L order).
+    """
+    r = jnp.repeat(code_table, 2, axis=1)                  # [C, 2046] P row
+    tab3 = jnp.stack([jnp.roll(r, -1, axis=1), r,
+                      jnp.roll(r, 1, axis=1)], axis=-1)    # [C, 2046, 3]
+    x = base[None, :] + phase[:, None]                     # [C, S] chips
+    j = jnp.mod(jnp.floor(2.0 * x), np.float32(2 * L_CA))
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * int(L_CA)),
+                                 2).astype(jnp.float32)
+    onehot = (j[:, :, None] == k).astype(jnp.float32)      # [C, S, 2046]
+    return jnp.einsum("csk,ckt->cst", onehot, tab3,
+                      preferred_element_type=jnp.float32)
+
+
+def _epl_gather(code_table: jax.Array, base: jax.Array,
+                phase: jax.Array) -> jax.Array:
+    """Direct-gather E/P/L replicas [C, S, 3] (backends with XLA gather)."""
+    return jnp.stack([_chips_gather(code_table, base, phase + 0.5),
+                      _chips_gather(code_table, base, phase),
+                      _chips_gather(code_table, base, phase - 0.5)],
+                     axis=-1)
+
+
+def _epl_replicas(code_table, base, phase):
+    """E/P/L replica stack [C, S, 3]; strategy picked at trace time."""
     if jax.default_backend() == "tpu":
-        return _chips_onehot(code_table, base, phase)
-    return _chips_gather(code_table, base, phase)
+        return _epl_onehot(code_table, base, phase)
+    return _epl_gather(code_table, base, phase)
 
 
 def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
@@ -211,9 +246,7 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
 
     base = time_idc * np.float32(F_CA)                     # [S]
     rc_mid = state.rc + state.dfc * np.float32(0.5e-3)
-    early = _chips(code_table, base, rc_mid + 0.5)
-    prompt = _chips(code_table, base, rc_mid)
-    late = _chips(code_table, base, rc_mid - 0.5)
+    replicas = _epl_replicas(code_table, base, rc_mid)     # [C, S, 3] E/P/L
 
     # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
     # sample ~ (k*L_CA - rc) * fs / fc
@@ -224,20 +257,24 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
     seg = ((cols >= b1[:, None]).astype(jnp.int32)
            + (cols >= b2[:, None]).astype(jnp.int32))      # [C, S]
 
-    def seg_sums(repl):
-        prod_re = bb_re * repl                              # [C, S]
-        prod_im = bb_im * repl
-        out = []
-        for k in range(3):
-            m = (seg == k)
-            out.append(jnp.stack(
-                [jnp.sum(jnp.where(m, prod_re, 0.0), axis=1),
-                 jnp.sum(jnp.where(m, prod_im, 0.0), axis=1)], axis=-1))
-        return jnp.stack(out, axis=1)                       # [C, 3, 2]
-
-    e_s = seg_sums(early)
-    p_s = seg_sums(prompt)
-    l_s = seg_sums(late)
+    # all 9 (tap, segment) sums in one small matmul: weight each sample by
+    # replica-tap x segment-membership, contract the sample axis against
+    # the (re, im) baseband. f32 HIGHEST precision: bb carries raw-sample
+    # magnitudes, and the E-L discriminator is a small difference of large
+    # correlation sums — don't let the MXU round the operands to bf16.
+    segm = (seg[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3), 2)
+            ).astype(jnp.float32)                           # [C, S, 3]
+    w = (replicas[:, :, :, None] * segm[:, :, None, :]
+         ).reshape(replicas.shape[0], s, 9)                 # [C, S, 9]
+    bb = jnp.stack([bb_re, bb_im], axis=1)                  # [C, 2, S]
+    sums = jnp.einsum("cps,csx->cpx", bb, w,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    sums = sums.reshape(-1, 2, 3, 3)                        # [C, 2, tap, seg]
+    e_s = jnp.moveaxis(sums[:, :, 0, :], 1, 2)              # [C, 3, 2]
+    p_s = jnp.moveaxis(sums[:, :, 1, :], 1, 2)
+    l_s = jnp.moveaxis(sums[:, :, 2, :], 1, 2)
 
     ncp = jnp.floor((np.float32(s / fs) * fc + state.rc)
                     * np.float32(1.0 / L_CA)).astype(jnp.int32)

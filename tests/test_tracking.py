@@ -188,3 +188,45 @@ def test_third_order_holds_doppler_ramp():
     assert abs(lag[2] - 0.140) < 0.03, lag
     assert abs(lag[3]) < 0.01, lag
     assert lock[2] == 0 and lock[3] == 1, lock
+
+
+def test_epl_onehot_matches_gather():
+    """The merged half-chip one-hot E/P/L lookup (TPU path) must reproduce
+    the direct three-gather lookup. floor(2x) determines all three taps
+    exactly, so the only legitimate differences are f32 ties where x +/- 0.5
+    itself rounds across a chip boundary — none at these test phases."""
+    rng = np.random.default_rng(5)
+    tab = jnp.asarray(ca_table([7, 12, 19]).astype(np.float32))
+    base = jnp.asarray((np.arange(S) / FS * F_CA).astype(np.float32))
+    # includes the wrap-sensitive region near 0 / L_CA and sub-chip offsets
+    phase = jnp.asarray(np.array([0.125, 1022.7, 511.0 + rng.random()],
+                                 np.float32))
+    got = tracking._epl_onehot(tab, base, phase)
+    want = tracking._epl_gather(tab, base, phase)
+    mismatch = np.mean(np.asarray(got) != np.asarray(want))
+    assert mismatch == 0.0, f"replica mismatch fraction {mismatch}"
+
+
+def test_correlate_step_onehot_path_matches_gather_path(monkeypatch):
+    """Full _correlate_step parity between the one-hot (TPU) and gather
+    (CPU) replica strategies — segment sums, not just replicas."""
+    prn, rc0, ri0, fi0 = 9, 321.5, 0.3, -650.0
+    raw = _make_blocks(prn, 1, rc0, ri0, fi0)[0]
+    tab = jnp.asarray(ca_table([prn]).astype(np.float32))
+    st = tracking.init_state(rc=[rc0 + 0.2], ri=[ri0],
+                             fc=[F_CA + FCAID * fi0], fi=[fi0])
+    time_idc = jnp.asarray((np.arange(S) / FS).astype(np.float32))
+    rr = jnp.asarray(raw.real.astype(np.float32))
+    ri_ = jnp.asarray(raw.imag.astype(np.float32))
+
+    outs = {}
+    for name, fn in (("gather", tracking._epl_gather),
+                     ("onehot", tracking._epl_onehot)):
+        monkeypatch.setattr(tracking, "_epl_replicas",
+                            lambda t, b, p, _f=fn: _f(t, b, p))
+        e_s, p_s, l_s, ncp = tracking._correlate_step(
+            st, rr, ri_, tab, time_idc, FS)
+        outs[name] = (np.asarray(e_s), np.asarray(p_s), np.asarray(l_s),
+                      np.asarray(ncp))
+    for a, b in zip(outs["gather"], outs["onehot"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-2)
