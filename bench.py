@@ -61,6 +61,10 @@ def main():
     # manifold-scoring traffic, equal-or-better fix accuracy; see
     # ops/dpe_real.dpe_batch_blocks group_k)
     group_k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    # dispatched batches kept in flight (run_batched pipeline_depth):
+    # depth 2 hides the per-batch upload+fetch RPC round-trip behind device
+    # compute on remote-attached accelerators
+    depth = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     warmup = 2 * lookahead   # one warm batch per jit signature (per-block
                              # + grouped) precedes the timed segments
 
@@ -123,7 +127,7 @@ def main():
     n_short = min(200, n_blocks)
     t0 = time.perf_counter()
     rx.run_batched(n_short, lookahead=lookahead, raw_blocks_dev=raw_dev,
-                   start_block=warmup, pipeline=True)
+                   start_block=warmup, pipeline=True, pipeline_depth=depth)
     wall_short = time.perf_counter() - t0
     n_short_fixes = len(rx.fixes) - n_warm_fixes
     # segment 2: the remainder of the full-length pass, coherent-grouped
@@ -132,7 +136,7 @@ def main():
     if n_blocks > n_short:
         rx.run_batched(n_blocks - n_short, lookahead=lookahead,
                        raw_blocks_dev=raw_dev, start_block=warmup + n_short,
-                       pipeline=True, group_k=group_k)
+                       pipeline=True, group_k=group_k, pipeline_depth=depth)
     wall = wall_short + (time.perf_counter() - t1)
 
     errs = [float(np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]))
@@ -188,6 +192,7 @@ def main():
         "fix_p95_m": round(float(np.percentile(errs, 95)), 2),
         "rtf_first_200": round(rtf_short, 2),
         "coherent_group_k": group_k,
+        "pipeline_depth": depth,
         "grouped_fix_rate_hz": round(1.0 / (group_k * 0.02), 1),
         "fix_median_m_grouped": (None if not errs_grouped else
                                  round(float(np.median(errs_grouped)), 2)),

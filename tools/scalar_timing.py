@@ -1,0 +1,101 @@
+"""TPU timing of the scalar-tracking scan: merged vs legacy chip lookup.
+
+Variants (replica construction inside ops.tracking._correlate_step):
+  merged  — ONE 2046-bin half-chip one-hot -> [C, S, 3] E/P/L (current
+            default on TPU; see tracking._epl_onehot)
+  legacy3 — three independent 1023-bin one-hot lookups (the r2 design)
+
+Protocol (NOTES.md trust rules): per variant, one warm track_chunk call
+on its own chunk (pays the one-time first-execution warmup), then K
+timed calls on pre-uploaded varying chunks, each ending in a scalar
+fetch. Never abort a warmup.
+
+Usage: python tools/scalar_timing.py [variants...]   (default: both)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from navlab_dpe_sdr_tpu.constants import F_CA, F_L1
+from navlab_dpe_sdr_tpu.libgnss.cacode import ca_table
+from navlab_dpe_sdr_tpu.ops import tracking as trk
+
+C, S = 8, 2500
+N_STEPS = int(os.environ.get("SCT_STEPS", 1000))   # 1 s of signal per call
+K = int(os.environ.get("SCT_K", 3))                # timed calls
+FS = 2.5e6
+FCAID = F_CA / F_L1
+
+
+def _legacy3(code_table, base, phase):
+    return jnp.stack([trk._chips_onehot(code_table, base, phase + 0.5),
+                      trk._chips_onehot(code_table, base, phase),
+                      trk._chips_onehot(code_table, base, phase - 0.5)],
+                     axis=-1)
+
+
+def _merged_bf16(code_table, base, phase):
+    """Merged lookup with bf16 one-hot/table operands (exact for 0/+-1
+    values; halves the contraction operand bytes), f32 accumulate."""
+    from navlab_dpe_sdr_tpu.constants import L_CA
+    r = jnp.repeat(code_table, 2, axis=1)
+    tab3 = jnp.stack([jnp.roll(r, -1, axis=1), r,
+                      jnp.roll(r, 1, axis=1)], axis=-1).astype(jnp.bfloat16)
+    x = base[None, :] + phase[:, None]
+    j = jnp.mod(jnp.floor(2.0 * x), np.float32(2 * L_CA))
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * int(L_CA)),
+                                 2).astype(jnp.float32)
+    onehot = (j[:, :, None] == k).astype(jnp.bfloat16)
+    return jnp.einsum("csk,ckt->cst", onehot, tab3,
+                      preferred_element_type=jnp.float32)
+
+
+def main():
+    variants = sys.argv[1:] or ["merged", "legacy3"]
+    rng = np.random.default_rng(3)
+    tab = jnp.asarray(ca_table(range(1, C + 1)).astype(np.float32))
+    prns = list(range(1, C + 1))
+    st0 = trk.init_state(rc=rng.random(C) * 1023.0,
+                         ri=rng.random(C),
+                         fc=np.full(C, F_CA) + rng.standard_normal(C),
+                         fi=rng.standard_normal(C) * 1000.0)
+    # K+1 independent noise chunks, uploaded once
+    chunks = [jnp.asarray(rng.standard_normal(
+        (N_STEPS, S, 2)).astype(np.float32) * 64.0) for _ in range(K + 1)]
+    for ch in chunks:
+        jax.block_until_ready(ch)
+    print(f"# backend={jax.default_backend()} C={C} S={S} steps={N_STEPS} "
+          f"K={K} prns={prns}", flush=True)
+
+    impls = {"merged": trk._epl_onehot, "legacy3": _legacy3,
+             "merged_bf16": _merged_bf16}
+    orig = trk._epl_replicas
+    for name in variants:
+        trk._epl_replicas = impls[name]
+        trk.track_chunk.clear_cache()
+        t0 = time.time()
+        st, log = trk.track_chunk(st0, chunks[0], tab, FS, FCAID)
+        float(jnp.sum(log.iP))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in chunks[1:]:
+            st, log = trk.track_chunk(st, ch, tab, FS, FCAID)
+            float(jnp.sum(log.iP))
+        dt = (time.time() - t0) / K
+        rtf = N_STEPS * 1e-3 / dt
+        print(f"{name}: {dt * 1e3 / N_STEPS:.4f} ms/step "
+              f"({rtf:.1f}x real time, {C} channels; warmup {warm_s:.0f} s)",
+              flush=True)
+    trk._epl_replicas = orig
+
+
+if __name__ == "__main__":
+    main()
