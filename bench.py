@@ -24,26 +24,11 @@ def main():
 
     import jax
 
-    from navlab_dpe_sdr_tpu.cli import _axon_device_answers, _axon_tunnel_alive
-
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        if not _axon_tunnel_alive():
-            print("# axon tunnel down (no relay listener) — CPU fallback",
-                  file=sys.stderr)
-            try:
-                jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass
-        elif not _axon_device_answers():
-            # the relay listener can survive a dead remote orchestrator, in
-            # which case jax.devices() hangs forever — probe from a killable
-            # subprocess and fall back rather than hang the whole bench
-            print("# axon relay up but device not answering — CPU fallback",
-                  file=sys.stderr)
-            try:
-                jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass
+    # the relay listener can survive a dead remote orchestrator, in which
+    # case jax.devices() hangs forever — probe from a killable subprocess
+    # and fall back to CPU rather than hang the whole bench
+    from navlab_dpe_sdr_tpu.cli import force_cpu_if_axon_dead
+    force_cpu_if_axon_dead()
 
     from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
     from navlab_dpe_sdr_tpu.io.scenario import make_scenario
@@ -65,6 +50,23 @@ def main():
     # depth 2 hides the per-batch upload+fetch RPC round-trip behind device
     # compute on remote-attached accelerators
     depth = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    # run_batched requires group_k | lookahead and group_k | segment-2
+    # length; repair odd argv combinations up front (before sizing the
+    # capture) instead of crashing after the timed work
+    import math
+    if group_k > 1 and lookahead % group_k:
+        gk = math.gcd(group_k, lookahead)
+        print(f"# group_k {group_k} does not divide lookahead {lookahead}; "
+              f"using group_k={gk}", file=sys.stderr)
+        group_k = max(1, gk)
+    n_short = min(200, n_blocks)
+    rem = (n_blocks - n_short) % group_k if group_k > 1 else 0
+    if rem:
+        print(f"# trimming {rem} blocks so the grouped segment is a "
+              f"multiple of group_k={group_k}", file=sys.stderr)
+        n_blocks -= rem
+
     warmup = 2 * lookahead   # one warm batch per jit signature (per-block
                              # + grouped) precedes the timed segments
 
@@ -124,7 +126,6 @@ def main():
 
     # segment 1: the 200-block short benchmark (round-1 comparison point;
     # per-block fixes at 50 Hz)
-    n_short = min(200, n_blocks)
     t0 = time.perf_counter()
     rx.run_batched(n_short, lookahead=lookahead, raw_blocks_dev=raw_dev,
                    start_block=warmup, pipeline=True, pipeline_depth=depth)

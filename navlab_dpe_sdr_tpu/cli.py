@@ -222,7 +222,14 @@ def cmd_dpe(args):
                 writer.write(f)
     elif args.batched:
         gk = max(1, args.group_k)
-        if gk > 1:
+        if gk > 1 and args.lookahead % gk:
+            raise SystemExit(
+                f"--group-k {gk} must divide --lookahead {args.lookahead} "
+                f"(each dispatch is grouped into lookahead/group_k "
+                f"coherent sums)")
+        if gk > 1 and n_blocks % gk:
+            print(f"note: trimming {n_blocks % gk} blocks so --blocks is "
+                  f"a multiple of --group-k {gk}")
             n_blocks -= n_blocks % gk
         rx.run_batched(n_blocks, lookahead=args.lookahead, group_k=gk)
         if writer:
@@ -578,17 +585,31 @@ def cmd_live(args):
     stream = open_tcp_source("127.0.0.1", srv.port, block_samples=rx.S,
                              timeout_s=args.watchdog)
     n_blocks = int(round(args.seconds / cfg.T)) if args.seconds else 10 ** 9
+    if k > 1 and n_blocks < 10 ** 9 and n_blocks % k:
+        # only the [k, S, 2] batch signature is pre-warmed; a partial
+        # final batch would jit-compile a fresh program inside the
+        # watchdog window (first executions here can take minutes)
+        print(f"trimming to {n_blocks - n_blocks % k} blocks "
+              f"(whole {k}-block dispatches)")
+        n_blocks -= n_blocks % k
 
     got = {"blocks": 0}
 
     def fetch_batch():
+        want = min(k, n_blocks - got["blocks"])
         blks = []
-        for _ in range(min(k, n_blocks - got["blocks"])):
+        for _ in range(want):
             b = stream.next_block()
             if b is None:
                 break
             blks.append(np.asarray(b))
         if not blks:
+            return None
+        if k > 1 and len(blks) < k:
+            # stream ended mid-batch: drop the <1 s tail rather than
+            # dispatch an unwarmed partial-batch signature under the
+            # watchdog
+            print(f"dropping {len(blks)}-block tail at stream end")
             return None
         got["blocks"] += len(blks)
         return np.stack(blks)                      # [K, S, 2] int16
@@ -668,7 +689,15 @@ def _axon_tunnel_alive() -> bool:
     return False
 
 
-_AXON_PROBE_CACHE = "/tmp/navlab_axon_probe.json"
+def _axon_probe_cache_path() -> str:
+    """Per-pool cache path: a verdict for one PALLAS_AXON_POOL_IPS value
+    must not be applied to a different pool (repointing the env var would
+    otherwise inherit a stale dead/alive verdict)."""
+    import hashlib
+    import os
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS", "local")
+    tag = hashlib.sha1(pool.encode()).hexdigest()[:12]
+    return f"/tmp/navlab_axon_probe_{tag}.json"
 
 
 def _axon_device_answers(timeout_s: float = 900.0,
@@ -688,8 +717,9 @@ def _axon_device_answers(timeout_s: float = 900.0,
     import subprocess
     import time as _time
 
+    cache_path = _axon_probe_cache_path()
     try:
-        with open(_AXON_PROBE_CACHE) as fo:
+        with open(cache_path) as fo:
             rec = _json.load(fo)
         # a healthy device stays trusted longer (the probe itself costs a
         # ~2 min first-execution warmup on this runtime); a dead verdict is
@@ -715,12 +745,38 @@ def _axon_device_answers(timeout_s: float = 900.0,
     except subprocess.CalledProcessError:
         ok = False
     try:
-        with open(_AXON_PROBE_CACHE + ".tmp", "w") as fo:
+        with open(cache_path + ".tmp", "w") as fo:
             _json.dump({"ts": _time.time(), "ok": ok}, fo)
-        os.replace(_AXON_PROBE_CACHE + ".tmp", _AXON_PROBE_CACHE)
+        os.replace(cache_path + ".tmp", cache_path)
     except OSError:
         pass
     return ok
+
+
+def force_cpu_if_axon_dead(verbose: bool = True) -> bool:
+    """The single axon-health fallback policy (used by _select_device,
+    bench.py, and __graft_entry__): if the axon env is set but either the
+    relay listener is gone or the device fails the end-to-end probe, pin
+    the CPU backend (config API — env vars are pre-empted here) and
+    return True. Must run before any JAX backend initialization."""
+    import os
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    if not _axon_tunnel_alive():
+        reason = "axon tunnel down (no relay listener)"
+    elif not _axon_device_answers():
+        reason = "axon relay up but device not answering (probe timed out)"
+    else:
+        return False
+    if verbose:
+        print(f"warning: {reason} — CPU fallback", file=sys.stderr)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return True
 
 
 def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
@@ -730,16 +786,8 @@ def _select_device(choice: str, default_cpu: bool, cpu_devices=None):
 
     import jax
     force_cpu = choice == "cpu" or (choice == "auto" and default_cpu)
-    if (not force_cpu and choice != "tpu"
-            and os.environ.get("PALLAS_AXON_POOL_IPS")):
-        if not _axon_tunnel_alive():
-            print("warning: axon tunnel down (no relay listener) — "
-                  "CPU fallback", file=sys.stderr)
-            force_cpu = True
-        elif not _axon_device_answers():
-            print("warning: axon relay up but device not answering "
-                  "(probe timed out) — CPU fallback", file=sys.stderr)
-            force_cpu = True
+    if not force_cpu and choice != "tpu":
+        force_cpu = force_cpu_if_axon_dead()
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         if cpu_devices:

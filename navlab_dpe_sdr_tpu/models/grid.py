@@ -120,15 +120,25 @@ def arthur_grid(n: int = 25, pos_spacing: float = 1.0,
 
 def exponential_axis(n: int, spacing: float,
                      growth: float = 1.35) -> np.ndarray:
-    """Center-dense axis: the k-th step out from the center is
-    spacing * growth^(k-1), so resolution is finest where the estimate
-    already is and the span grows geometrically (CUDARecv enumerates this
-    style as ManifoldGridTypes::Exponential, gridhelper.h:24-28, but
-    never implements it — here it is real)."""
-    half = (n - 1) // 2
-    steps = spacing * growth ** np.arange(half, dtype=np.float64)
-    pos = np.concatenate([[0.0], np.cumsum(steps)])
-    return np.concatenate([-pos[:0:-1], pos])
+    """Center-dense axis of exactly n points: the k-th step out from the
+    center is spacing * growth^(k-1), so resolution is finest where the
+    estimate already is and the span grows geometrically (CUDARecv
+    enumerates this style as ManifoldGridTypes::Exponential,
+    gridhelper.h:24-28, but never implements it — here it is real).
+
+    Odd n includes the 0 center point; even n is symmetric about 0 with
+    the innermost pair at +/- spacing/2 (same convention as an even
+    uniform axis), so requesting n^4 grid points yields exactly n^4.
+    """
+    if n % 2:
+        half = (n - 1) // 2
+        steps = spacing * growth ** np.arange(half, dtype=np.float64)
+        pos = np.concatenate([[0.0], np.cumsum(steps)])
+        return np.concatenate([-pos[:0:-1], pos])
+    half = n // 2
+    steps = spacing * growth ** np.arange(half - 1, dtype=np.float64)
+    pos = spacing / 2.0 + np.concatenate([[0.0], np.cumsum(steps)])
+    return np.concatenate([-pos[::-1], pos])
 
 
 def exponential_grid(n: int = 25, pos_spacing: float = 1.0,

@@ -86,6 +86,17 @@ def test_exponential_axis_properties():
     # center-out growth: the grid spans far beyond n*spacing
     assert np.abs(g.d_enu).max() > 2.0 * 4
 
+    # even n must yield exactly n points (no silent (n-1)-point axis):
+    # symmetric about 0 with the innermost pair at +/- spacing/2
+    ax4 = exponential_axis(4, 1.0, growth=2.0)
+    np.testing.assert_allclose(ax4, [-1.5, -0.5, 0.5, 1.5])
+    ax8 = exponential_axis(8, 1.0, growth=1.35)
+    assert ax8.shape == (8,)
+    np.testing.assert_allclose(ax8, -ax8[::-1])
+    assert np.all(np.diff(ax8) > 0)
+    g = make_grid("exponential", n=8, pos_spacing=1.0, vel_spacing=0.1)
+    assert g.n_pos == 8 ** 4 and g.n_vel == 8 ** 4
+
 
 def test_exponential_spacing_sweep_row(tmp_path):
     """One exponential-style row through the MC spacing-sweep harness

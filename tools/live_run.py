@@ -20,14 +20,28 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=45.0)
     p.add_argument("--lookahead", type=int, default=50)
-    p.add_argument("--capture",
-                   default="/tmp/navlab_tpu_fixtures/bench_capture_v2_115000000.dat")
+    p.add_argument("--capture", default=None,
+                   help="int16-I/Q capture; default: the largest cached "
+                        "bench_capture_v2_*.dat (bench.py caches one)")
     p.add_argument("--json", default="LIVE_r03.json")
     args = p.parse_args(argv)
 
     from navlab_dpe_sdr_tpu.io.handoff import write_handoff
     from navlab_dpe_sdr_tpu.io.scenario import make_scenario
 
+    if args.capture is None:
+        # bench.py's cache name encodes its sample count, which tracks its
+        # warmup setting — glob rather than hardcode a stale size
+        import glob
+        caps = sorted(glob.glob(
+            "/tmp/navlab_tpu_fixtures/bench_capture_v2_*.dat"),
+            key=os.path.getsize)
+        if not caps:
+            raise SystemExit("no cached bench capture under "
+                             "/tmp/navlab_tpu_fixtures (run bench.py once "
+                             "to generate one), and no --capture given")
+        args.capture = caps[-1]
+        print(f"# capture: {args.capture}")
     if not os.path.exists(args.capture):
         raise SystemExit(f"capture missing: {args.capture} (run bench.py "
                          "once to generate/cache it)")
