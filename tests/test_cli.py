@@ -158,3 +158,83 @@ def test_console_stopflow_midrun(tiny_capture):
     c.onecmd("stopflow f")
     assert "wasn't running" in out.getvalue()
     c.onecmd("quit")
+
+
+class TestAxonProbe:
+    """The axon-health probe + CPU-fallback policy (no device needed)."""
+
+    def test_cache_path_keyed_on_pool(self, monkeypatch):
+        from navlab_dpe_sdr_tpu import cli
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+        p1 = cli._axon_probe_cache_path()
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.2")
+        p2 = cli._axon_probe_cache_path()
+        monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+        p3 = cli._axon_probe_cache_path()
+        assert len({p1, p2, p3}) == 3
+
+    def test_cached_verdict_respected_and_dead_rechecked_sooner(
+            self, monkeypatch, tmp_path):
+        import time
+
+        from navlab_dpe_sdr_tpu import cli
+        cache = tmp_path / "probe.json"
+        monkeypatch.setattr(cli, "_axon_probe_cache_path",
+                            lambda: str(cache))
+        calls = []
+
+        def fake_run(*a, **kw):
+            calls.append(a)
+            raise AssertionError("probe subprocess must not run on a "
+                                 "fresh cached verdict")
+
+        import subprocess as sp
+        monkeypatch.setattr(sp, "run", fake_run)
+        cache.write_text(json.dumps({"ts": time.time(), "ok": True}))
+        assert cli._axon_device_answers() is True
+        cache.write_text(json.dumps({"ts": time.time(), "ok": False}))
+        assert cli._axon_device_answers() is False
+        # an ok verdict is trusted ~6x longer than a dead one
+        cache.write_text(json.dumps({"ts": time.time() - 1200, "ok": True}))
+        assert cli._axon_device_answers(cache_s=600) is True
+        assert not calls
+
+    def test_probe_timeout_records_dead(self, monkeypatch, tmp_path):
+        import subprocess as sp
+
+        from navlab_dpe_sdr_tpu import cli
+        cache = tmp_path / "probe.json"
+        monkeypatch.setattr(cli, "_axon_probe_cache_path",
+                            lambda: str(cache))
+
+        def fake_run(*a, **kw):
+            raise sp.TimeoutExpired(cmd=a[0], timeout=kw.get("timeout"))
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        assert cli._axon_device_answers(timeout_s=1) is False
+        rec = json.loads(cache.read_text())
+        assert rec["ok"] is False
+
+    def test_force_cpu_noop_without_axon_env(self, monkeypatch):
+        from navlab_dpe_sdr_tpu import cli
+        monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+        assert cli.force_cpu_if_axon_dead() is False
+
+    def test_force_cpu_on_dead_tunnel(self, monkeypatch, capsys):
+        from navlab_dpe_sdr_tpu import cli
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "203.0.113.7")
+        monkeypatch.setattr(cli, "_axon_tunnel_alive", lambda: False)
+        calls = {"cpu": 0}
+        import jax
+        orig = jax.config.update
+
+        def spy(name, value):
+            if name == "jax_platforms":
+                calls["cpu"] += 1
+                return  # don't actually repoint the test process backend
+            return orig(name, value)
+
+        monkeypatch.setattr(jax.config, "update", spy)
+        assert cli.force_cpu_if_axon_dead() is True
+        assert calls["cpu"] == 1
+        assert "CPU fallback" in capsys.readouterr().err
