@@ -231,7 +231,9 @@ def cmd_dpe(args):
             print(f"note: trimming {n_blocks % gk} blocks so --blocks is "
                   f"a multiple of --group-k {gk}")
             n_blocks -= n_blocks % gk
-        rx.run_batched(n_blocks, lookahead=args.lookahead, group_k=gk)
+        depth = max(0, args.pipeline_depth)
+        rx.run_batched(n_blocks, lookahead=args.lookahead, group_k=gk,
+                       pipeline=depth > 0, pipeline_depth=max(1, depth))
         if writer:
             for f in rx.fixes:
                 writer.write(f)
@@ -897,6 +899,12 @@ def main(argv=None):
                          "blocks on device before manifold scoring (one "
                          "fix per K blocks at ~1/K scoring cost; K must "
                          "divide --lookahead)")
+    pd.add_argument("--pipeline-depth", type=int, default=0, metavar="N",
+                    help="with --batched: keep N dispatched batches in "
+                         "flight (0 = drain each batch before the next — "
+                         "the accuracy reference; 2 hides the per-batch "
+                         "upload+fetch round-trip behind device compute "
+                         "at N batches of prediction staleness)")
     pd.add_argument("--watchdog", type=float, default=1.5)
     pd.add_argument("--verbose", action="store_true")
     pd.add_argument("--set", action="append", metavar="KEY=VALUE",

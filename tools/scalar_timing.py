@@ -75,6 +75,57 @@ def main():
     print(f"# backend={jax.default_backend()} C={C} S={S} steps={N_STEPS} "
           f"K={K} prns={prns}", flush=True)
 
+    if "scanfloor" in variants:
+        # pure lax.scan iteration overhead: trivial body (one reduce of the
+        # [S, 2] step slice + scalar carry). If this is within ~2x of the
+        # full correlation step, per-iteration overhead is the floor and
+        # the lever is fewer, fatter iterations — not cheaper math.
+        variants = [v for v in variants if v != "scanfloor"]
+        import functools
+
+        @jax.jit
+        def floor_scan(c0, chunk):
+            def body(c, raw):
+                s = jnp.sum(raw)
+                return c + s, s
+            return jax.lax.scan(body, c0, chunk)
+
+        c0 = jnp.float32(0.0)
+        t0 = time.time()
+        c, out = floor_scan(c0, chunks[0])
+        float(c)
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in chunks[1:]:
+            c, out = floor_scan(c0, ch)
+            float(c)
+        dt = (time.time() - t0) / K
+        print(f"scanfloor: {dt * 1e3 / N_STEPS:.4f} ms/step "
+              f"(trivial body; warmup {warm_s:.0f} s)", flush=True)
+
+    if "openloop" in variants:
+        # floor probe: correlation-only scan (track_open_loop) — no
+        # discriminators/loop filters/lock/SNR. If this is much faster,
+        # the closed-loop tail of ~50 tiny [C]-shaped ops bounds the scan;
+        # if similar, correlation dominates and the tail is free.
+        variants = [v for v in variants if v != "openloop"]
+        rc = jnp.asarray(np.asarray(st0.rc))
+        dfc = jnp.asarray(np.asarray(st0.dfc))
+        ri = jnp.asarray(np.asarray(st0.ri))
+        fi = jnp.asarray(np.asarray(st0.fi))
+        t0 = time.time()
+        e, p, l = trk.track_open_loop(rc, dfc, ri, fi, chunks[0], tab, FS)
+        float(jnp.sum(p))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in chunks[1:]:
+            e, p, l = trk.track_open_loop(rc, dfc, ri, fi, ch, tab, FS)
+            float(jnp.sum(p))
+        dt = (time.time() - t0) / K
+        print(f"openloop: {dt * 1e3 / N_STEPS:.4f} ms/step "
+              f"({N_STEPS * 1e-3 / dt:.1f}x real time; warmup {warm_s:.0f} s)",
+              flush=True)
+
     impls = {"merged": trk._epl_onehot, "legacy3": _legacy3,
              "merged_bf16": _merged_bf16}
     orig = trk._epl_replicas
