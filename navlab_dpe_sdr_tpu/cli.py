@@ -90,14 +90,27 @@ def cmd_track(args):
     rf.seek(int(args.skip * args.fs))
     prns = [int(p) for p in args.prns.split(",")]
     from .ops.tracking import LoopConfig
+    # cadence-aware carrier-loop defaults: the 1 ms default (Bn 40 Hz,
+    # PLL-only — reference channel.py:58) is marginal at longer update
+    # periods (Bn*T = 0.16 at 4 ms); unless set explicitly, coherent mode
+    # narrows the PLL and adds FLL assist for pull-in
+    bn_carr = args.bn_carr
+    if bn_carr is None:
+        bn_carr = 40.0 if args.coh_ms == 1 else 48.0 / args.coh_ms
+    bn_f = args.bn_carr_freq
+    if bn_f is None:
+        bn_f = 0.0 if args.coh_ms == 1 else 12.0 / args.coh_ms
     rx = ScalarReceiver(rf, prns,
                         loops=LoopConfig(order=args.loop_order,
                                          bn_code=args.bn_code,
-                                         bn_carr=args.bn_carr))
+                                         bn_carr=bn_carr,
+                                         bn_carr_freq=bn_f))
     rx.acquire()
     n_ms = int(args.seconds * 1000)
-    print(f"tracking {args.seconds}s ...")
-    rx.track(n_ms)
+    n_ms -= n_ms % args.coh_ms
+    print(f"tracking {args.seconds}s ..." + (
+        f" (coherent {args.coh_ms} ms updates)" if args.coh_ms > 1 else ""))
+    rx.track(n_ms, coh_ms=args.coh_ms)
     good = rx.decode_ephemerides()
     if args.rinex:
         from .libgnss import rinex as rinex_mod
@@ -850,8 +863,17 @@ def main(argv=None):
                     help="loop-filter order (critically damped)")
     pt.add_argument("--bn-code", type=float, default=3.0,
                     help="code-loop noise bandwidth [Hz]")
-    pt.add_argument("--bn-carr", type=float, default=40.0,
-                    help="carrier-loop noise bandwidth [Hz]")
+    pt.add_argument("--bn-carr", type=float, default=None,
+                    help="carrier-loop noise bandwidth [Hz] (default 40, "
+                         "or 48/coh_ms in coherent mode)")
+    pt.add_argument("--bn-carr-freq", type=float, default=None,
+                    help="FLL-assist bandwidth [Hz] (default 0, or "
+                         "12/coh_ms in coherent mode)")
+    pt.add_argument("--coh-ms", type=int, default=1,
+                    help="coherent predetection integration per loop "
+                         "update [ms]: >1 trades loop update rate for "
+                         "~3 dB discriminator SNR per doubling and fewer "
+                         "sequential scan steps (TPU throughput)")
     pt.set_defaults(fn=cmd_track)
 
     pd = sub.add_parser("dpe", help="DPE block loop from a handoff")

@@ -57,7 +57,8 @@ class ScalarReceiver:
         self.code_table = jnp.asarray(
             ca_table(self.prn_list).astype(np.float32))
         self.state: trk_ops.TrackState | None = None
-        self.mcount = 0
+        self.mcount = 0                  # loop updates absorbed so far
+        self.coh_ms = 1                  # ms per update (set by track())
         self._m_samp: list[int] = []
 
     # -- acquisition -------------------------------------------------------
@@ -140,47 +141,58 @@ class ScalarReceiver:
 
     # -- tracking ----------------------------------------------------------
 
-    def track(self, n_ms: int, chunk_ms: int = 2000):
-        """Track n_ms of data in device chunks, appending measurement logs."""
+    def track(self, n_ms: int, chunk_ms: int = 2000, coh_ms: int = 1):
+        """Track n_ms of data in device chunks, appending measurement logs.
+
+        coh_ms > 1 enables coherent predetection integration: one loop
+        update (and one measurement-log row) per coh_ms milliseconds —
+        see ops.tracking.track_chunk. Log rows and `mcount` then count
+        UPDATES, coh_ms ms apart (self.coh_ms records the cadence); the
+        cp column stays exact (cumulative code periods), so nav solutions
+        and handoffs are cadence-independent. Don't mix cadences within
+        one receiver's log."""
         assert self.state is not None, "acquire() (or load state) first"
+        assert n_ms % coh_ms == 0, (n_ms, coh_ms)
+        assert chunk_ms % coh_ms == 0, (chunk_ms, coh_ms)
+        self.coh_ms = coh_ms
         rf = self.rawfile
         rf.set_block(T_CA, T_CA, verbose=False)
         s = rf.S
+        sw = s * coh_ms                   # samples per update window
 
         done = 0
         while done < n_ms:
-            n = min(chunk_ms, n_ms - done)
+            n = min(chunk_ms, n_ms - done) // coh_ms   # updates this chunk
             start_samp = rf.sample_pos
-            raw = np.empty((n, s, 2), dtype=np.float32)
-            for i in range(n):
+            raw = np.empty((n, sw, 2), dtype=np.float32)
+            for i in range(n * coh_ms):
                 blk = rf.read_block()
-                raw[i, :, 0] = blk.real
-                raw[i, :, 1] = blk.imag
+                u, o = divmod(i, coh_ms)
+                raw[u, o * s:(o + 1) * s, 0] = blk.real
+                raw[u, o * s:(o + 1) * s, 1] = blk.imag
             # upload as all-real [n, S, 2] — no complex64 on device, so the
             # same path runs on backends without complex support (axon TPU)
             self.state, log = trk_ops.track_chunk(
                 self.state, jnp.asarray(raw), self.code_table, rf.fs,
-                rf.fcaid, self.loops)
+                rf.fcaid, self.loops, coh_ms=coh_ms)
             self._absorb_log(log)
-            self._m_samp.extend(start_samp + (np.arange(n) + 1) * s)
-            done += n
+            self._m_samp.extend(start_samp + (np.arange(n) + 1) * sw)
+            done += n * coh_ms
             self.mcount += n
 
     def _absorb_log(self, log):
         arrs = {k: np.asarray(getattr(log, k)) for k in LOG_FIELDS}
         ncp = np.asarray(log.ncp)           # [steps, C]
-        signs = np.asarray(log.signs)       # [steps, C, 2]
+        signs = np.asarray(log.signs)       # [steps, C, m+1]
+        kmax = signs.shape[2]
         for ci, prn in enumerate(self.prn_list):
             ch = self.channels[prn]
             ch.append(**{k: arrs[k][:, ci] for k in LOG_FIELDS})
             # expand completed-code-period signs into the cp_sign stream
-            n1 = ncp[:, ci] >= 1
-            n2 = ncp[:, ci] >= 2
             out = []
-            for t in np.nonzero(n1 | n2)[0]:
-                out.append(signs[t, ci, 0])
-                if n2[t]:
-                    out.append(signs[t, ci, 1])
+            for t in np.nonzero(ncp[:, ci] >= 1)[0]:
+                for k in range(min(int(ncp[t, ci]), kmax)):
+                    out.append(signs[t, ci, k])
             if out:
                 ch.cp_sign = np.concatenate([ch.cp_sign, np.array(out)])
 

@@ -223,20 +223,27 @@ def _epl_replicas(code_table, base, phase):
 
 
 def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
-                    code_table: jax.Array, time_idc: jax.Array, fs: float):
-    """E/P/L correlation of one 1 ms window for all channels.
+                    code_table: jax.Array, time_idc: jax.Array, fs: float,
+                    m: int = 1):
+    """E/P/L correlation of one m-ms window for all channels.
 
-    raw_re/raw_im: [S] float32 (shared across channels);
-    code_table: [C, 1023] f32. Returns segment sums as (re, im) pairs
-    e_s/p_s/l_s: [C, 3, 2] float32 and ncp [C] int32. All-real: runs on
-    backends without complex64 support.
+    raw_re/raw_im: [S] float32 (shared across channels), S = m samples/ms;
+    code_table: [C, 1023] f32. Returns per-code-period segment sums as
+    (re, im) pairs e_s/p_s/l_s: [C, m+2, 2] float32 and ncp [C] int32
+    (code periods completed this window, in {m-1, m, m+1}). All-real:
+    runs on backends without complex64 support.
 
-    Gather-free: the window is exactly one code period at the nominal rate,
-    so replicas come from a one-hot chip lookup at the mid-window phase
-    (within-window drift dfc*T < 4e-3 chips, far below discriminator noise)
+    Gather-free: the window is m code periods at the nominal rate, so
+    replicas come from a one-hot chip lookup at the mid-window phase
+    (within-window drift dfc*m*1e-3 < 4e-3*m chips — 0.013 chips at
+    m = 4 with |dfc| <= 3.3 chips/s — far below discriminator noise)
     and segment membership is an arithmetic sample-index threshold.
+    m > 1 is the coherent predetection-integration mode (the reference
+    scaffolds N-ms accumulation in channel.get_Nms_correlation,
+    channel.py:344-422, but never drives its loops with it).
     """
     s = raw_re.shape[0]
+    n_seg = m + 2
     # carrier wipeoff (w = exp(-2pi i(fi t + ri))), all-real arithmetic
     ang = 2.0 * jnp.pi * (state.fi[:, None] * time_idc[None, :]
                           + state.ri[:, None])
@@ -245,34 +252,36 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
     bb_im = raw_im[None, :] * wc - raw_re[None, :] * ws
 
     base = time_idc * np.float32(F_CA)                     # [S]
-    rc_mid = state.rc + state.dfc * np.float32(0.5e-3)
+    rc_mid = state.rc + state.dfc * np.float32(m * 0.5e-3)
     replicas = _epl_replicas(code_table, base, rc_mid)     # [C, S, 3] E/P/L
 
     # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
-    # sample ~ (k*L_CA - rc) * fs / fc
+    # sample ~ (k*L_CA - rc) * fs / fc, for k = 1..m+1
     fc = np.float32(F_CA) + state.dfc
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1).astype(jnp.float32)
-    b1 = (np.float32(L_CA) - state.rc) * (np.float32(fs) / fc)
-    b2 = (np.float32(2 * L_CA) - state.rc) * (np.float32(fs) / fc)
-    seg = ((cols >= b1[:, None]).astype(jnp.int32)
-           + (cols >= b2[:, None]).astype(jnp.int32))      # [C, S]
+    seg = None
+    for k in range(1, m + 2):
+        bk = (np.float32(k * L_CA) - state.rc) * (np.float32(fs) / fc)
+        term = (cols >= bk[:, None]).astype(jnp.int32)       # [C, S]
+        seg = term if seg is None else seg + term
 
-    # all 9 (tap, segment) sums in one small matmul: weight each sample by
-    # replica-tap x segment-membership, contract the sample axis against
-    # the (re, im) baseband. f32 HIGHEST precision: bb carries raw-sample
-    # magnitudes, and the E-L discriminator is a small difference of large
-    # correlation sums — don't let the MXU round the operands to bf16.
+    # all 3*(m+2) (tap, segment) sums in one small matmul: weight each
+    # sample by replica-tap x segment-membership, contract the sample axis
+    # against the (re, im) baseband. f32 HIGHEST precision: bb carries
+    # raw-sample magnitudes, and the E-L discriminator is a small
+    # difference of large correlation sums — don't let the MXU round the
+    # operands to bf16.
     segm = (seg[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3), 2)
-            ).astype(jnp.float32)                           # [C, S, 3]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_seg), 2)
+            ).astype(jnp.float32)                           # [C, S, n_seg]
     w = (replicas[:, :, :, None] * segm[:, :, None, :]
-         ).reshape(replicas.shape[0], s, 9)                 # [C, S, 9]
+         ).reshape(replicas.shape[0], s, 3 * n_seg)         # [C, S, 3*n_seg]
     bb = jnp.stack([bb_re, bb_im], axis=1)                  # [C, 2, S]
     sums = jnp.einsum("cps,csx->cpx", bb, w,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
-    sums = sums.reshape(-1, 2, 3, 3)                        # [C, 2, tap, seg]
-    e_s = jnp.moveaxis(sums[:, :, 0, :], 1, 2)              # [C, 3, 2]
+    sums = sums.reshape(-1, 2, 3, n_seg)                    # [C, 2, tap, seg]
+    e_s = jnp.moveaxis(sums[:, :, 0, :], 1, 2)              # [C, n_seg, 2]
     p_s = jnp.moveaxis(sums[:, :, 1, :], 1, 2)
     l_s = jnp.moveaxis(sums[:, :, 2, :], 1, 2)
 
@@ -281,55 +290,100 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
     return e_s, p_s, l_s, ncp
 
 
-def _polarity_combine(state: TrackState, e_s, p_s, l_s, ncp):
+def _polarity_combine(state: TrackState, e_s, p_s, l_s, ncp, m: int = 1):
     """Receiver-synchronous combination with nav-bit polarity resolution
-    (reference correlator.py:162-279). Segment sums are [C, 3, 2] (re, im)."""
-    sums = e_s + p_s + l_s                                  # [C, 3, 2]
+    (reference correlator.py:162-279). Segment sums are [C, m+2, 2]
+    (re, im).
+
+    m == 1 reproduces the reference's 3-segment decision tree exactly.
+    m > 1 uses a flip-location hypothesis test: nav bits last 20 code
+    periods, so for m <= 10 at most ONE boundary inside the window
+    carries a real flip. Deciding WHERE (or whether) it is from the
+    full-window combined energy — argmax over the n_seg single-flip
+    hypotheses |sum_{k<j} s_k - sum_{k>=j} s_k|^2 — stays reliable at
+    C/N0 where per-segment pairwise decisions (1 ms of energy each, the
+    reference's approach) are coin flips; this is what lets the
+    coherent mode track through weak signal instead of being destroyed
+    by its own polarity resolution."""
+    sums = e_s + p_s + l_s                                  # [C, n_seg, 2]
+    n_seg = m + 2
 
     def mag2(x):
         return x[..., 0] ** 2 + x[..., 1] ** 2
 
-    flip01 = mag2(sums[:, 0] + sums[:, 1]) < mag2(sums[:, 0] - sums[:, 1])
-    flip12 = mag2(sums[:, 1] + sums[:, 2]) < mag2(sums[:, 1] - sums[:, 2])
-    g1 = jnp.where(flip01, -1.0, 1.0).astype(jnp.float32)
-    g2 = jnp.where(flip01, -1.0,
-                   jnp.where(flip12, -1.0, 1.0)).astype(jnp.float32)
+    if m == 1:
+        flip01 = mag2(sums[:, 0] + sums[:, 1]) < mag2(sums[:, 0] - sums[:, 1])
+        flip12 = mag2(sums[:, 1] + sums[:, 2]) < mag2(sums[:, 1] - sums[:, 2])
+        g1 = jnp.where(flip01, -1.0, 1.0).astype(jnp.float32)
+        g2 = jnp.where(flip01, -1.0,
+                       jnp.where(flip12, -1.0, 1.0)).astype(jnp.float32)
+        g = jnp.stack([jnp.ones_like(g1), g1, g2], axis=1)  # [C, 3]
+    else:
+        tot = jnp.sum(sums, axis=1)                         # [C, 2]
+        cum = jnp.cumsum(sums, axis=1)                      # [C, n_seg, 2]
+        # hypothesis j: segments k >= j flipped (j = 0: no flip);
+        # combined sum under j >= 1 is 2*cum_{j-1} - tot
+        cand = jnp.concatenate(
+            [tot[:, None], 2.0 * cum[:, :-1] - tot[:, None]],
+            axis=1)                                         # [C, n_seg, 2]
+        jstar = jnp.argmax(mag2(cand), axis=1)              # [C]
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_seg), 1)
+        g = jnp.where((jstar[:, None] == 0)
+                      | (k_iota < jstar[:, None]), 1.0, -1.0
+                      ).astype(jnp.float32)                 # [C, n_seg]
 
+    # g[:, 0] == +1 in both branches (a "flip before segment 0" is the
+    # same bit as no flip); elementwise adds, not einsum — the operands
+    # must stay f32 (MXU bf16 rounding would blur the discriminators)
     def comb(x):
-        return (x[:, 0] + g1[:, None] * x[:, 1]
-                + g2[:, None] * x[:, 2])                    # [C, 2]
+        acc = x[:, 0]
+        for k in range(1, n_seg):
+            acc = acc + g[:, k][:, None] * x[:, k]
+        return acc                                          # [C, 2]
 
     e_r, p_r, l_r = comb(e_s), comb(p_s), comb(l_s)
 
-    # signal-synchronous prompt sums for nav-bit signs
+    # signal-synchronous prompt sums for nav-bit signs: the k-th completed
+    # code period's prompt is segment k-1 (segment 0 completes the period
+    # carried in from the previous window via p_a)
     p_s1_re = state.p_a_re + p_s[:, 0, 0]
-    sign1 = -jnp.sign(p_s1_re)
-    sign2 = -jnp.sign(p_s[:, 1, 0])
-    signs = jnp.stack([sign1, sign2], axis=1)               # [C, 2]
+    signs = jnp.stack([-jnp.sign(p_s1_re)]
+                      + [-jnp.sign(p_s[:, k, 0])
+                         for k in range(1, n_seg - 1)], axis=1)  # [C, m+1]
 
+    # the carry for the next window is the last (incomplete) segment's
+    # prompt sum — segment index ncp — plus the existing carry when no
+    # period completed at all. One-hot select (no gather on TPU).
     def pick(part):
-        return jnp.where(
-            ncp == 0, state.p_a_re + p_s[:, 0, part] if part == 0
-            else state.p_a_im + p_s[:, 0, part],
-            jnp.where(ncp == 1, p_s[:, 1, part], p_s[:, 2, part]))
+        carry = state.p_a_re if part == 0 else state.p_a_im
+        acc = jnp.where(ncp == 0, carry + p_s[:, 0, part], 0.0)
+        for k in range(1, n_seg):
+            acc = acc + jnp.where(ncp == k, p_s[:, k, part], 0.0)
+        return acc
 
     p_a_re_new = pick(0)
     p_a_im_new = pick(1)
     return e_r, p_r, l_r, signs, p_a_re_new, p_a_im_new
 
 
-def _lock_snr_update(state: TrackState, p_r):
+def _lock_snr_update(state: TrackState, p_r, m: int = 1):
     """Kaplan-Hegarty lock detector + variance-summing C/N0 meter.
-    p_r: [C, 2] (re, im)."""
+    p_r: [C, 2] (re, im). For m > 1 the per-update LPF coefficient and
+    count thresholds are rescaled so the detector's TIME constants match
+    the 1 ms design (updates arrive m x slower); the C/N0 meter's
+    predetection time is m*T_MS."""
     ip, qp = p_r[:, 0], p_r[:, 1]
 
-    li = LOCK_LPF * jnp.abs(ip) + (1 - LOCK_LPF) * state.lock_i
-    lq = LOCK_LPF * jnp.abs(qp) + (1 - LOCK_LPF) * state.lock_q
+    lpf = LOCK_LPF if m == 1 else 1.0 - (1.0 - LOCK_LPF) ** m
+    loss_th = max(1, round(LOCK_LOSS_TH / m))
+    lock_th = max(1, round(LOCK_LOCK_TH / m))
+    li = lpf * jnp.abs(ip) + (1 - lpf) * state.lock_i
+    lq = lpf * jnp.abs(qp) + (1 - lpf) * state.lock_q
     in_lock = (li / LOCK_K) > lq
     losscount = jnp.where(in_lock, 0, state.losscount + 1)
     lockcount = jnp.where(in_lock, state.lockcount + 1, 0)
-    lock = jnp.where(in_lock & (state.lockcount > LOCK_LOCK_TH), 1,
-                     jnp.where(~in_lock & (state.losscount > LOCK_LOSS_TH),
+    lock = jnp.where(in_lock & (state.lockcount > lock_th), 1,
+                     jnp.where(~in_lock & (state.losscount > loss_th),
                                0, state.lock))
     lockval = li / LOCK_K - lq
 
@@ -342,7 +396,8 @@ def _lock_snr_update(state: TrackState, p_r):
     z_var = jnp.mean(snr_v, axis=1)
     carrier = jnp.sqrt(jnp.maximum(z_mean * z_mean - z_var, 0.0))
     noise_var = jnp.maximum((z_mean - carrier) / 2.0, 1e-12)
-    logarg = jnp.maximum(carrier / (2.0 * (SNR_N * T_MS) * noise_var), 1.0)
+    logarg = jnp.maximum(carrier / (2.0 * (SNR_N * m * T_MS) * noise_var),
+                         1.0)
     snr = 10.0 * jnp.log10(logarg)
 
     new = state._replace(lock_i=li, lock_q=lq, losscount=losscount,
@@ -351,16 +406,17 @@ def _lock_snr_update(state: TrackState, p_r):
     return new, lock, lockval, snr
 
 
-def _lf_step(h, h2, xp, xf, coeffs, boxcar: bool):
+def _lf_step(h, h2, xp, xf, coeffs, boxcar: bool, t_s: float = T_MS):
     """One loop-filter update (reference loopfilter.py:91-121, filters.py
     Bilinear/BoxcarIntegrator). Returns (h', h2', out).
 
     order 2: out = integ(Kvp*xp + Kvf*xf) + Kpp*xp       (Kap == Kaf == 0)
     order 3: out = integ(integ(Kap*xp + Kaf*xf) + Kvp*xp + Kvf*xf) + Kpp*xp
-    integ is bilinear ((h+h')/2) or boxcar (h') with gain T.
+    integ is bilinear ((h+h')/2) or boxcar (h') with gain t_s (the update
+    period — T_MS, or m*T_MS under coherent predetection integration).
     """
     kap, kvp, kpp, kaf, kvf = (np.float32(c) for c in coeffs)
-    t = np.float32(T_MS)
+    t = np.float32(t_s)
 
     def integ(acc, x):
         acc_new = acc + t * x
@@ -377,9 +433,12 @@ def _lf_step(h, h2, xp, xf, coeffs, boxcar: bool):
 
 
 def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
-                  loops: LoopConfig):
+                  loops: LoopConfig, m: int = 1):
     """DLL/PLL discriminators -> loop filters -> new fc/fi.
-    e_r/p_r/l_r: [C, 2] (re, im)."""
+    e_r/p_r/l_r: [C, 2] (re, im). m is the update period in ms (coherent
+    predetection integration: discriminators unchanged, integrator gain
+    and FLL normalization scale with the period; FLL pull-in range is
+    +/- 1/(2*m*T_MS) Hz)."""
     ip, qp = p_r[:, 0], p_r[:, 1]
     dpi = jnp.where(ip != 0.0, jnp.arctan(qp / jnp.where(ip == 0, 1.0, ip))
                     / (2.0 * np.pi), 0.0).astype(jnp.float32)
@@ -402,16 +461,17 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
         dot = state.prev_p_re * ip + state.prev_p_im * qp
         sgn = jnp.where(dot < 0.0, -1.0, 1.0).astype(jnp.float32)
         xf = (jnp.arctan2(sgn * cross, sgn * dot)
-              / np.float32(2.0 * np.pi * T_MS)).astype(jnp.float32)
+              / np.float32(2.0 * np.pi * m * T_MS)).astype(jnp.float32)
     else:
         xf = zero
+    t_s = T_MS if m == 1 else m * T_MS
     lf_carr_h, lf_carr_h2, di = _lf_step(
         state.lf_carr_h, state.lf_carr_h2, dpi, xf,
         _loop_coeffs(loops.order, loops.bn_carr, loops.bn_carr_freq),
-        loops.boxcar)
+        loops.boxcar, t_s)
     lf_code_h, lf_code_h2, dc = _lf_step(
         state.lf_code_h, state.lf_code_h2, dpc, zero,
-        _loop_coeffs(loops.order, loops.bn_code, 0.0), loops.boxcar)
+        _loop_coeffs(loops.order, loops.bn_code, 0.0), loops.boxcar, t_s)
 
     fi_new = state.fi_bias + di
     dfc_new = state.dfc_bias + dc + np.float32(fcaid) * (state.fi_bias + di)
@@ -421,30 +481,45 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
                           prev_p_re=ip, prev_p_im=qp), dpc, dpi
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fcaid", "loops"))
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "fcaid", "loops", "coh_ms"))
 def track_chunk(state: TrackState, raw_chunk: jax.Array,
                 code_table: jax.Array, fs: float, fcaid: float,
-                loops: LoopConfig = LoopConfig()):
-    """Track a chunk of consecutive 1 ms windows.
+                loops: LoopConfig = LoopConfig(), coh_ms: int = 1):
+    """Track a chunk of consecutive coh_ms-long windows.
 
     raw_chunk: [steps, S, 2] float32 (re, im last axis) or [steps, S]
-    complex (converted). `loops` selects filter order/bandwidths
-    (reference channel.py:57-58 defaults). Returns (final_state,
-    TrackLog stacked over steps).
+    complex (converted), S = coh_ms * samples-per-ms. `loops` selects
+    filter order/bandwidths (reference channel.py:57-58 defaults).
+    Returns (final_state, TrackLog stacked over steps).
+
+    coh_ms > 1 is coherent predetection integration: each loop update
+    integrates coh_ms code periods coherently (per-period polarity
+    resolved by the segment machinery, so nav-bit flips inside the
+    window are handled and the per-period cp_sign stream is preserved
+    for LNAV decode). ~3 dB more discriminator SNR per doubling and
+    1/coh_ms the sequential scan steps — the TPU throughput lever for
+    the latency-bound 1 ms scan. The trade: loop update rate drops to
+    1/(coh_ms ms) (use with Bn*coh_ms*1e-3 << 1) and the FLL pull-in
+    range shrinks to +/-1/(2*coh_ms*1e-3) Hz. The reference scaffolds
+    N-ms accumulation (channel.get_Nms_correlation, channel.py:344-422)
+    but never drives its loops with it; here it is a first-class mode.
     """
+    m = int(coh_ms)
     if jnp.iscomplexobj(raw_chunk):
         raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
                               axis=-1).astype(jnp.float32)
     s = raw_chunk.shape[1]
     time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
+    t_up = np.float32(T_MS) if m == 1 else np.float32(m * T_MS)
 
     def body(st: TrackState, raw):
         e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],
-                                             code_table, time_idc, fs)
+                                             code_table, time_idc, fs, m)
         (e_r, p_r, l_r, signs, p_a_re_new,
-         p_a_im_new) = _polarity_combine(st, e_s, p_s, l_s, ncp)
+         p_a_im_new) = _polarity_combine(st, e_s, p_s, l_s, ncp, m)
         st1, lock, lockval, snr = _lock_snr_update(
-            st._replace(p_a_re=p_a_re_new, p_a_im=p_a_im_new), p_r)
+            st._replace(p_a_re=p_a_re_new, p_a_im=p_a_im_new), p_r, m)
 
         log = TrackLog(
             iE=e_r[:, 0], qE=e_r[:, 1],
@@ -455,13 +530,13 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
             snr=snr, dpc=jnp.zeros_like(st.rc), dpi=jnp.zeros_like(st.rc))
 
         # time update with pre-update fc/fi (reference sequencing)
-        rc_new = jnp.mod(st.rc + st.dfc * np.float32(T_MS), np.float32(L_CA))
-        ri_new = jnp.mod(st.ri + st.fi * np.float32(T_MS), 1.0)
+        rc_new = jnp.mod(st.rc + st.dfc * t_up, np.float32(L_CA))
+        ri_new = jnp.mod(st.ri + st.fi * t_up, 1.0)
         cp_new = st.cp + ncp
 
         st2 = st1._replace(rc=rc_new, ri=ri_new, cp=cp_new)
         # measurement update -> fc/fi for the next window
-        st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid, loops)
+        st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid, loops, m)
         log = log._replace(dpc=dpc, dpi=dpi)
         return st3, log
 
