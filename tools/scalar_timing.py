@@ -126,6 +126,31 @@ def main():
               f"({N_STEPS * 1e-3 / dt:.1f}x real time; warmup {warm_s:.0f} s)",
               flush=True)
 
+    for name in [v for v in variants if v.startswith("coh")]:
+        # coherent predetection integration (track_chunk coh_ms=m): same
+        # signal seconds, N_STEPS/m windows of m ms — the fewer-fatter-
+        # iterations lever for a latency-bound scan. Usage: coh2 coh4 coh8.
+        variants = [v for v in variants if v != name]
+        m = int(name[3:])
+        loops = trk.LoopConfig(order=2, bn_code=2.0, bn_carr=48.0 / m,
+                               bn_carr_freq=12.0 / m)
+        mchunks = [ch.reshape(N_STEPS // m, m * S, 2) for ch in chunks]
+        t0 = time.time()
+        st, log = trk.track_chunk(st0, mchunks[0], tab, FS, FCAID,
+                                  loops, coh_ms=m)
+        float(jnp.sum(log.iP))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in mchunks[1:]:
+            st, log = trk.track_chunk(st, ch, tab, FS, FCAID,
+                                      loops, coh_ms=m)
+            float(jnp.sum(log.iP))
+        dt = (time.time() - t0) / K
+        rtf = N_STEPS * 1e-3 / dt
+        print(f"{name}: {dt * 1e3 / (N_STEPS // m):.4f} ms/update "
+              f"({rtf:.1f}x real time, {C} channels; warmup {warm_s:.0f} s)",
+              flush=True)
+
     impls = {"merged": trk._epl_onehot, "legacy3": _legacy3,
              "merged_bf16": _merged_bf16}
     orig = trk._epl_replicas
