@@ -1185,13 +1185,54 @@ class DPEReceiver:
             done += n
         return self.fixes
 
+    def noise_envelope(self, blocks_per_fix: int = 16, n_batches: int = 8,
+                       seed: int = 0):
+        """Deterministic per-lag noise gain of the integrated noncoherent
+        windows: (env_code [Wc], env_carr [Wv]), each normalized to mean 1.
+
+        The windowed correlation algebra does not have a flat noise
+        floor: the two-stage folded carrier DFT attenuates noise away
+        from the fold center with the same Dirichlet envelope as the
+        signal (~40% center-to-edge), and the code window's flip/no-flip
+        max-selection inflates E|noise| at the decision lag (~30%).
+        Summed noncoherently over hundreds of blocks these deterministic
+        bumps dominate the integrated surface long before thermal noise
+        does — an UN-normalized weak-signal joint solve "finds" the
+        window center (= the coasted prediction) at arbitrarily low
+        C/N0. Measured: a -20 dB-Hz no-signal control pinned 4.6 m from
+        truth with 512 blocks. This calibrates the envelope empirically
+        by streaming white noise through the IDENTICAL engine config on
+        a throwaway receiver built from the current state."""
+        from ..io.rawfile import DTYPE_IQ16, SampleFile
+
+        rng = np.random.default_rng(seed)
+        n = self.S * blocks_per_fix * n_batches
+        noise = np.empty(n, DTYPE_IQ16)
+        noise["i"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
+                             -32768, 32767)
+        noise["q"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
+                             -32768, 32767)
+        h = self.save_handoff()
+        h.bytes_read = 0
+        cal = DPEReceiver(
+            SampleFile(samples=noise, fs=self.rawfile.fs,
+                       ds=self.rawfile.ds),
+            h, grid=self.grid, config=self.cfg)
+        collect: list = []
+        cal.run_integrated(n_batches, blocks_per_fix, coherent=False,
+                           feedback=False, _collect=collect)
+        env_code = np.stack([c[0] for c in collect]).mean(axis=(0, 1))
+        env_carr = np.stack([c[1] for c in collect]).mean(axis=(0, 1))
+        return (env_code / env_code.mean(), env_carr / env_carr.mean())
+
     def run_survey(self, n_batches: int, blocks_per_fix: int = 50,
                    raw_blocks_dev=None, start_block: int = 0,
                    fine_spacing: float = 0.25, fine_n: int = 33,
                    vel_fine_spacing: float = 0.02,
                    zoom_interp: str | None = None,
                    coherent: bool = True,
-                   feedback: bool = True) -> SurveyResult:
+                   feedback: bool = True,
+                   envelope="auto") -> SurveyResult:
         """Multi-epoch joint DPE: ONE position-clock state estimated
         against the WHOLE pass (static-receiver survey mode).
 
@@ -1219,8 +1260,18 @@ class DPEReceiver:
         steering on pure prediction so a noisy per-batch argmax can never
         corrupt the window centers. The joint solve then integrates the
         whole pass: full-pass noncoherent gain extends the fix floor far
-        below the per-batch hold (measured: see SENS_WEAK artifact /
+        below the per-batch hold (measured: see SENS_DEEP artifact /
         tests/test_survey.py weak-signal case).
+
+        envelope: noise-floor equalization of the collected windows (see
+        noise_envelope). "auto" (default) calibrates and applies it on
+        the noncoherent path — without it the deterministic window
+        envelope pins the weak-signal argmax to the coasted prediction
+        at arbitrarily low C/N0 (a false "hold"); a no-signal run then
+        correctly scatters across the coarse grid instead. Pass a
+        precomputed (env_code, env_carr) to amortize the calibration
+        across runs, or None to disable (coherent default: the strong-
+        signal peak dominates the envelope; estimates unchanged).
 
         Measured behavior (25 s static capture at 47 dB-Hz, 2.5 MHz): E/N
         converge to the fine-lattice cell (~0.25-0.75 m); the U/clock pair
@@ -1233,10 +1284,21 @@ class DPEReceiver:
         (+3.0 -> +0.25 m measured); the default keeps the estimator
         identical to the per-block scorer.
         """
+        if envelope == "auto":
+            # calibrate BEFORE the pass advances the receiver state; reuse
+            # the survey's blocks_per_fix so the TPU jit program is shared
+            envelope = (self.noise_envelope(blocks_per_fix=blocks_per_fix,
+                                            n_batches=max(
+                                                2, 96 // blocks_per_fix))
+                        if not coherent else None)
         collect: list = []
         self.run_integrated(n_batches, blocks_per_fix, raw_blocks_dev,
                             start_block, coherent=coherent,
                             _collect=collect, feedback=feedback)
+        if envelope is not None:
+            env_c, env_v = envelope
+            collect = [(c[0] / env_c[None, :], c[1] / env_v[None, :],
+                        *c[2:]) for c in collect]
         return self._survey_solve(collect, n_batches * blocks_per_fix,
                                   fine_spacing, fine_n, vel_fine_spacing,
                                   zoom_interp)
