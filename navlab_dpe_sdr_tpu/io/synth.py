@@ -28,6 +28,24 @@ from ..libgnss.cacode import ca_code
 from ..libgnss.ephemeris import EphArray
 
 
+def white_noise_iq16(n: int, seed=0, sigma: float = 22.6) -> np.ndarray:
+    """n samples of quantized complex white noise as DTYPE_IQ16.
+
+    The scale is arbitrary for anything scale-invariant (noise-envelope
+    calibration, null controls); 22.6 keeps int16 quantization noise
+    negligible while staying far from clipping."""
+    from .rawfile import DTYPE_IQ16
+
+    rng = (seed if isinstance(seed, np.random.Generator)
+           else np.random.default_rng(seed))
+    out = np.empty(n, DTYPE_IQ16)
+    out["i"] = np.clip(np.round(rng.standard_normal(n) * sigma),
+                       -32768, 32767)
+    out["q"] = np.clip(np.round(rng.standard_normal(n) * sigma),
+                       -32768, 32767)
+    return out
+
+
 def synth_simple(prn: int, fs: float, n_samples: int, rc: float = 0.0,
                  ri: float = 0.0, fc: float = F_CA, fi: float = 0.0,
                  cn0_dbhz: float | None = 45.0, sigma: float = 32.0,

@@ -1203,15 +1203,10 @@ class DPEReceiver:
         truth with 512 blocks. This calibrates the envelope empirically
         by streaming white noise through the IDENTICAL engine config on
         a throwaway receiver built from the current state."""
-        from ..io.rawfile import DTYPE_IQ16, SampleFile
+        from ..io.rawfile import SampleFile
+        from ..io.synth import white_noise_iq16
 
-        rng = np.random.default_rng(seed)
-        n = self.S * blocks_per_fix * n_batches
-        noise = np.empty(n, DTYPE_IQ16)
-        noise["i"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                             -32768, 32767)
-        noise["q"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                             -32768, 32767)
+        noise = white_noise_iq16(self.S * blocks_per_fix * n_batches, seed)
         h = self.save_handoff()
         h.bytes_read = 0
         cal = DPEReceiver(

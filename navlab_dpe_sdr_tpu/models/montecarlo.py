@@ -296,7 +296,8 @@ def weak_sweep(levels, blocks: int = 512, blocks_per_fix: int = 16,
 
     grid = grid or spread_grid()
     results = []
-    for cn0 in levels:
+    envelope = None   # noise envelope depends only on grid/config —
+    for cn0 in levels:  # calibrate once, reuse across the ladder
         sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=float(cn0),
                                        seed=seed)
         n = 50000 * blocks
@@ -318,10 +319,15 @@ def weak_sweep(levels, blocks: int = 512, blocks_per_fix: int = 16,
         rx = DPEReceiver(SampleFile(samples=samples.copy(), fs=fs),
                          copy.deepcopy(hand), grid=grid, config=config,
                          eph=copy.deepcopy(arr))
+        if envelope is None:
+            envelope = rx.noise_envelope(
+                blocks_per_fix=blocks_per_fix,
+                n_batches=max(2, 96 // blocks_per_fix))
         sr = rx.run_survey(blocks // blocks_per_fix, blocks_per_fix,
                            coherent=False, feedback=False,
                            fine_spacing=fine_spacing, fine_n=fine_n,
-                           vel_fine_spacing=vel_fine_spacing)
+                           vel_fine_spacing=vel_fine_spacing,
+                           envelope=envelope)
         pt.survey_err_m = float(np.linalg.norm(sr.x_ecef[0:3] - truth[0:3]))
         pt.survey_sigma_m = float(np.sqrt(np.sum(sr.sigma_pos[0:3] ** 2)))
         pt.held = pt.survey_err_m < hold_m

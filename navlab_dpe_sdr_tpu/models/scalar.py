@@ -153,7 +153,8 @@ class ScalarReceiver:
         one receiver's log."""
         assert self.state is not None, "acquire() (or load state) first"
         assert n_ms % coh_ms == 0, (n_ms, coh_ms)
-        assert chunk_ms % coh_ms == 0, (chunk_ms, coh_ms)
+        chunk_ms -= chunk_ms % coh_ms    # device chunking is internal —
+        chunk_ms = max(chunk_ms, coh_ms)  # round rather than reject
         self.coh_ms = coh_ms
         rf = self.rawfile
         rf.set_block(T_CA, T_CA, verbose=False)
@@ -244,20 +245,37 @@ class ScalarReceiver:
     # -- handoff -----------------------------------------------------------
 
     def save_handoff(self, path: str, mc: int | None = None) -> Handoff:
-        """Export the DPE-initialization checkpoint at measurement mc."""
+        """Export the DPE-initialization checkpoint at measurement mc.
+
+        Contract (io/scenario.py, DPEReceiver.__init__): rx_time and the
+        channel state describe the epoch of the sample at bytes_read.
+        Log row mc holds the state at the START of window mc while
+        _m_samp[mc] is the window's END, so the exported state is
+        propagated across the window (coh_ms ms) at the tracked rates —
+        at 1 ms cadence the skew is sub-chip and was absorbed by the
+        clock estimate; at coh_ms=8 it would be 8 code periods of cp and
+        ~30 m of satellite motion, so the propagation is exact, not
+        cosmetic."""
         mc = (self.mcount - 1) if mc is None else mc
         rx_time_a, rx_time, x_ecef, _, _ = self.nav_solution(mc)
+        dt = self.coh_ms * 1e-3          # window span of log row mc
 
         h = Handoff()
-        h.rx_time = float(rx_time)
-        h.rx_time_a = float(rx_time_a)
+        h.rx_time = float(rx_time) + dt
+        h.rx_time_a = float(rx_time_a) + dt
         h.x_ecef = np.asarray(x_ecef).ravel()
+        h.x_ecef[0:3] += h.x_ecef[4:7] * dt
+        h.x_ecef[3] += h.x_ecef[7] * dt
         h.bytes_read = int(self._m_samp[mc] * self.rawfile.datatype.itemsize)
         h.prn_list = list(self.prn_list)
         for name in ("rc", "ri", "fc", "fi", "cp"):
             setattr(h, name, np.array(
                 [self.channels[p].col(name)[mc] for p in self.prn_list],
                 dtype=np.float64))
+        adv = h.rc + h.fc * dt           # code phase across the window
+        h.cp = h.cp + np.floor(adv / L_CA)
+        h.rc = np.mod(adv, L_CA)
+        h.ri = np.mod(h.ri + h.fi * dt, 1.0)
         h.cp_timestamp = np.array(
             [self.channels[p].ephemeris.cp_timestamp for p in self.prn_list])
         h.tow = np.array(

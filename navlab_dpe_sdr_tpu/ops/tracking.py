@@ -374,7 +374,7 @@ def _lock_snr_update(state: TrackState, p_r, m: int = 1):
     predetection time is m*T_MS."""
     ip, qp = p_r[:, 0], p_r[:, 1]
 
-    lpf = LOCK_LPF if m == 1 else 1.0 - (1.0 - LOCK_LPF) ** m
+    lpf = 1.0 - (1.0 - LOCK_LPF) ** m    # == LOCK_LPF at m = 1
     loss_th = max(1, round(LOCK_LOSS_TH / m))
     lock_th = max(1, round(LOCK_LOCK_TH / m))
     li = lpf * jnp.abs(ip) + (1 - lpf) * state.lock_i
@@ -464,7 +464,7 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
               / np.float32(2.0 * np.pi * m * T_MS)).astype(jnp.float32)
     else:
         xf = zero
-    t_s = T_MS if m == 1 else m * T_MS
+    t_s = m * T_MS
     lf_carr_h, lf_carr_h2, di = _lf_step(
         state.lf_carr_h, state.lf_carr_h2, dpi, xf,
         _loop_coeffs(loops.order, loops.bn_carr, loops.bn_carr_freq),
@@ -506,12 +506,17 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
     but never drives its loops with it; here it is a first-class mode.
     """
     m = int(coh_ms)
+    if not 1 <= m <= 10:
+        # > 10 would let a window span two nav-bit boundaries, which the
+        # single-flip hypothesis test cannot represent (silently corrupt
+        # polarity); the practical sweet spot is 2-8
+        raise ValueError(f"coh_ms must be in 1..10, got {m}")
     if jnp.iscomplexobj(raw_chunk):
         raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
                               axis=-1).astype(jnp.float32)
     s = raw_chunk.shape[1]
     time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
-    t_up = np.float32(T_MS) if m == 1 else np.float32(m * T_MS)
+    t_up = np.float32(m * T_MS)
 
     def body(st: TrackState, raw):
         e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],

@@ -10,7 +10,8 @@ import numpy as np
 from navlab_dpe_sdr_tpu.constants import C
 from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
 from navlab_dpe_sdr_tpu.io.scenario import make_scenario
-from navlab_dpe_sdr_tpu.io.synth import CaptureSimulator
+from navlab_dpe_sdr_tpu.io.synth import (CaptureSimulator,
+                                          white_noise_iq16)
 from navlab_dpe_sdr_tpu.libgnss import frames
 from navlab_dpe_sdr_tpu.models.dpe import DPEReceiver
 from navlab_dpe_sdr_tpu.models.grid import spread_grid
@@ -143,13 +144,7 @@ def test_noise_envelope_and_no_signal_control():
     the un-normalized solve exhibits at arbitrarily low C/N0."""
     _, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0, seed=13)
     n_blocks = 64
-    rng = np.random.default_rng(3)
-    n = 50000 * n_blocks
-    noise = np.empty(n, DTYPE_IQ16)
-    noise["i"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                         -32768, 32767)
-    noise["q"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                         -32768, 32767)
+    noise = white_noise_iq16(50000 * n_blocks, seed=3)
     rx = DPEReceiver(SampleFile(samples=noise, fs=FS),
                      copy.deepcopy(hand), grid=spread_grid(),
                      eph=copy.deepcopy(arr))
@@ -186,13 +181,7 @@ def test_survey_no_signal_does_not_hold():
     not report a meter-level 'fix' at the coasted prediction."""
     _, hand, arr = make_scenario(nav_data=True, cn0_dbhz=30.0, seed=17)
     n_blocks = 48
-    rng = np.random.default_rng(23)
-    n = 50000 * n_blocks
-    noise = np.empty(n, DTYPE_IQ16)
-    noise["i"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                         -32768, 32767)
-    noise["q"] = np.clip(np.round(rng.standard_normal(n) * 22.6),
-                         -32768, 32767)
+    noise = white_noise_iq16(50000 * n_blocks, seed=23)
     rx = DPEReceiver(SampleFile(samples=noise, fs=FS),
                      copy.deepcopy(hand), grid=spread_grid(),
                      eph=copy.deepcopy(arr))

@@ -132,6 +132,10 @@ def main():
         # iterations lever for a latency-bound scan. Usage: coh2 coh4 coh8.
         variants = [v for v in variants if v != name]
         m = int(name[3:])
+        if N_STEPS % m:
+            print(f"{name}: skipped (SCT_STEPS={N_STEPS} not divisible "
+                  f"by {m})", flush=True)
+            continue
         loops = trk.LoopConfig(order=2, bn_code=2.0, bn_carr=48.0 / m,
                                bn_carr_freq=12.0 / m)
         mchunks = [ch.reshape(N_STEPS // m, m * S, 2) for ch in chunks]
