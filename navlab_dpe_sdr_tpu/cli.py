@@ -871,9 +871,9 @@ def main(argv=None):
                          "12/coh_ms in coherent mode)")
     pt.add_argument("--coh-ms", type=int, default=1,
                     help="coherent predetection integration per loop "
-                         "update [ms]: >1 trades loop update rate for "
-                         "~3 dB discriminator SNR per doubling and fewer "
-                         "sequential scan steps (TPU throughput)")
+                         "update [ms] (1..10): >1 trades loop update "
+                         "rate for ~3 dB discriminator SNR per doubling "
+                         "(weak-signal tracking)")
     pt.set_defaults(fn=cmd_track)
 
     pd = sub.add_parser("dpe", help="DPE block loop from a handoff")

@@ -497,9 +497,12 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
     integrates coh_ms code periods coherently (per-period polarity
     resolved by the segment machinery, so nav-bit flips inside the
     window are handled and the per-period cp_sign stream is preserved
-    for LNAV decode). ~3 dB more discriminator SNR per doubling and
-    1/coh_ms the sequential scan steps — the TPU throughput lever for
-    the latency-bound 1 ms scan. The trade: loop update rate drops to
+    for LNAV decode). The value is SENSITIVITY: ~3 dB more
+    discriminator SNR per doubling (27 dB-Hz tracking at m=8 where the
+    1 ms loop drops lock). Measured on the target TPU the scan is
+    compute-bound on the replica one-hot volume (per-update cost scales
+    ~linearly with m: 0.074/0.14/0.27/0.58 ms at m=1/2/4/8), so fewer
+    steps do NOT buy real-time factor. The trade: loop update rate drops to
     1/(coh_ms ms) (use with Bn*coh_ms*1e-3 << 1) and the FLL pull-in
     range shrinks to +/-1/(2*coh_ms*1e-3) Hz. The reference scaffolds
     N-ms accumulation (channel.get_Nms_correlation, channel.py:344-422)
