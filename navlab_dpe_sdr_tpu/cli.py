@@ -745,11 +745,13 @@ def _axon_device_answers(timeout_s: float = 900.0,
     except (OSError, ValueError, KeyError):
         pass
     ok = True
+    cacheable = True
     # devices() can answer while execution wedges (observed: enumeration
     # returns in seconds, any dispatch hangs) — probe a tiny reduce too
     probe_src = ("import jax, jax.numpy as jnp;"
                  "jax.devices();"
                  "print(float(jnp.ones((8, 8)).sum()))")
+    t_start = _time.time()
     try:
         subprocess.run(
             [sys.executable, "-c", probe_src],
@@ -759,6 +761,16 @@ def _axon_device_answers(timeout_s: float = 900.0,
         ok = False
     except subprocess.CalledProcessError:
         ok = False
+        # a near-instant failure is an import/plugin-registration error in
+        # THIS process's environment (e.g. a PYTHONPATH without the axon
+        # site dir), not evidence about the device — the caller should
+        # still fall back, but caching it would poison later processes
+        # whose environments are fine (observed: one broken-PYTHONPATH
+        # probe pinned every subsequent CLI to CPU for cache_s seconds)
+        if _time.time() - t_start < 10.0:
+            cacheable = False
+    if not cacheable:
+        return ok
     try:
         with open(cache_path + ".tmp", "w") as fo:
             _json.dump({"ts": _time.time(), "ok": ok}, fo)

@@ -215,6 +215,50 @@ class TestAxonProbe:
         rec = json.loads(cache.read_text())
         assert rec["ok"] is False
 
+    def test_fast_failure_not_cached(self, monkeypatch, tmp_path):
+        """A near-instant CalledProcessError is an import/plugin error in
+        the probing process's environment (e.g. a PYTHONPATH without the
+        axon site dir), not evidence the device is dead: the caller still
+        gets False, but the verdict must NOT be cached — one broken
+        environment would otherwise pin every later healthy process to
+        CPU for the cache TTL."""
+        import subprocess as sp
+
+        from navlab_dpe_sdr_tpu import cli
+        cache = tmp_path / "probe.json"
+        monkeypatch.setattr(cli, "_axon_probe_cache_path",
+                            lambda: str(cache))
+
+        def fake_run(*a, **kw):
+            raise sp.CalledProcessError(returncode=1, cmd=a[0])
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        assert cli._axon_device_answers() is False
+        assert not cache.exists()
+
+    def test_slow_failure_is_cached(self, monkeypatch, tmp_path):
+        """A failure that took real time (device wedged mid-dispatch and
+        the subprocess died late) IS a device verdict and is cached."""
+        import subprocess as sp
+        import time
+
+        from navlab_dpe_sdr_tpu import cli
+        cache = tmp_path / "probe.json"
+        monkeypatch.setattr(cli, "_axon_probe_cache_path",
+                            lambda: str(cache))
+        t0 = time.time()
+        clock = {"now": t0}
+        monkeypatch.setattr(time, "time", lambda: clock["now"])
+
+        def fake_run(*a, **kw):
+            clock["now"] += 15.0      # the probe "took" 15 s before dying
+            raise sp.CalledProcessError(returncode=1, cmd=a[0])
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        assert cli._axon_device_answers() is False
+        rec = json.loads(cache.read_text())
+        assert rec["ok"] is False
+
     def test_force_cpu_noop_without_axon_env(self, monkeypatch):
         from navlab_dpe_sdr_tpu import cli
         monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)

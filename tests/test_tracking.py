@@ -207,6 +207,26 @@ def test_epl_onehot_matches_gather():
     assert mismatch == 0.0, f"replica mismatch fraction {mismatch}"
 
 
+def test_epl_onehot_factored_matches_gather():
+    """The two-level factored one-hot (93x22 split of the 2046 half-chip
+    bins) must be bit-exact against the direct gather — including at the
+    j = 22k factor boundaries where a naive f32 j/22 division could round
+    floor() the wrong way (phase 0.0 puts channel 0 exactly on j = 0; the
+    dense phase sweep crosses every h boundary)."""
+    rng = np.random.default_rng(11)
+    tab = jnp.asarray(ca_table([3, 7, 12, 19]).astype(np.float32))
+    base = jnp.asarray((np.arange(S) / FS * F_CA).astype(np.float32))
+    for phase in (np.array([0.0, 0.125, 1022.7, 511.0 + rng.random()],
+                           np.float32),
+                  # every h-boundary: phases k*11 chips (j steps of 22)
+                  np.linspace(0.0, 1023.0, 4, endpoint=False
+                              ).astype(np.float32) + np.float32(10.997)):
+        got = tracking._epl_onehot_factored(tab, base, jnp.asarray(phase))
+        want = tracking._epl_gather(tab, base, jnp.asarray(phase))
+        mismatch = np.mean(np.asarray(got) != np.asarray(want))
+        assert mismatch == 0.0, f"replica mismatch fraction {mismatch}"
+
+
 def test_correlate_step_onehot_path_matches_gather_path(monkeypatch):
     """Full _correlate_step parity between the one-hot (TPU) and gather
     (CPU) replica strategies — segment sums, not just replicas."""

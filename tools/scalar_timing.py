@@ -156,18 +156,25 @@ def main():
               flush=True)
 
     impls = {"merged": trk._epl_onehot, "legacy3": _legacy3,
-             "merged_bf16": _merged_bf16}
+             "merged_bf16": _merged_bf16,
+             "factored": trk._epl_onehot_factored}
     orig = trk._epl_replicas
     for name in variants:
-        trk._epl_replicas = impls[name]
+        # "<impl>_uK" suffix: run the scan with lax.scan unroll=K
+        # (amortizes per-iteration loop overhead; identical math)
+        base_name, _, usuf = name.partition("_u")
+        unroll = int(usuf) if usuf else 1
+        trk._epl_replicas = impls[base_name]
         trk.track_chunk.clear_cache()
         t0 = time.time()
-        st, log = trk.track_chunk(st0, chunks[0], tab, FS, FCAID)
+        st, log = trk.track_chunk(st0, chunks[0], tab, FS, FCAID,
+                                  unroll=unroll)
         float(jnp.sum(log.iP))
         warm_s = time.time() - t0
         t0 = time.time()
         for ch in chunks[1:]:
-            st, log = trk.track_chunk(st, ch, tab, FS, FCAID)
+            st, log = trk.track_chunk(st, ch, tab, FS, FCAID,
+                                      unroll=unroll)
             float(jnp.sum(log.iP))
         dt = (time.time() - t0) / K
         rtf = N_STEPS * 1e-3 / dt
