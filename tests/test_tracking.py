@@ -227,6 +227,23 @@ def test_epl_onehot_factored_matches_gather():
         assert mismatch == 0.0, f"replica mismatch fraction {mismatch}"
 
 
+def test_track_chunk_unroll_invariant():
+    """lax.scan unroll (the TPU default is 8) must not change a single
+    bit of the tracking outputs — the carry dependency sequences the
+    per-window math identically; only loop machinery is amortized."""
+    prn, rc0, ri0, fi0 = 5, 250.0, 0.4, 900.0
+    raw = jnp.asarray(_make_blocks(prn, 30, rc0, ri0, fi0))
+    tab = jnp.asarray(ca_table([prn]).astype(np.float32))
+    st0 = tracking.init_state(rc=[rc0 + 0.2], ri=[ri0],
+                              fc=[F_CA + FCAID * fi0], fi=[fi0 + 10.0])
+    st1, log1 = tracking.track_chunk(st0, raw, tab, FS, FCAID, unroll=1)
+    st8, log8 = tracking.track_chunk(st0, raw, tab, FS, FCAID, unroll=8)
+    for a, b in zip(log1, log8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(st1, st8):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_correlate_step_onehot_path_matches_gather_path(monkeypatch):
     """Full _correlate_step parity between the one-hot (TPU) and gather
     (CPU) replica strategies — segment sums, not just replicas."""
