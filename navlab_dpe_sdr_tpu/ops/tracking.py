@@ -602,10 +602,12 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
     # unroll > 1 amortizes the per-iteration scan overhead (measured
     # 0.027 ms/step of the 0.060 ms factored step on the target TPU:
     # unroll=8 -> 0.041 ms/step, 13.9x -> 24.2x real time with the
-    # factored lookup); semantics are identical — the carry dependency
-    # still sequences the per-window math exactly, only the
-    # loop-machinery cost is shared. Default: 8 on TPU, 1 elsewhere
-    # (CPU test runs would pay 8x body-copy compile time for nothing).
+    # factored lookup). The carry dependency still sequences the
+    # per-window math; XLA may fuse/reassociate the unrolled bodies
+    # differently, so trajectories agree to f32-ulp class (bit-identical
+    # on the target TPU, ~1e-6 relative on CPU), never structurally.
+    # Default: 8 on TPU, 1 elsewhere (CPU test runs would pay 8x
+    # body-copy compile time for nothing).
     if unroll is None:
         unroll = 8 if jax.default_backend() == "tpu" else 1
     return jax.lax.scan(body, state, raw_chunk, unroll=int(unroll))
