@@ -101,6 +101,35 @@ class Console(cmd.Cmd):
         else:
             self._say(f"unknown command: {tok}")
 
+    # -- tab completion (the reference scaffolds completion hooks in its
+    # line editor, cmdReader.cpp; here the cmd module drives them) ---------
+
+    def completenames(self, text, *ignored):
+        names = sorted({n[3:] for n in self.get_names()
+                        if n.startswith("do_") and n != "do_EOF"})
+        return [n + " " for n in names if n.startswith(text.lower())]
+
+    def _complete_flow(self, text):
+        pool = sorted(set(self.flows) | set(self.aliases))
+        return [n + " " for n in pool if n.startswith(text)]
+
+    def complete_startflow(self, text, line, begidx, endidx):
+        return self._complete_flow(text)
+
+    complete_stopflow = complete_startflow
+    complete_delflow = complete_startflow
+    complete_actflow = complete_startflow
+    complete_addalias = complete_startflow
+    complete_status = complete_startflow
+    complete_printport = complete_startflow
+    complete_loadflow = complete_startflow
+
+    def complete_setparam(self, text, line, begidx, endidx):
+        from .models.dpe import DPEConfig
+        keys = sorted(DPEConfig.__dataclass_fields__) + ["watchdog", "fs"]
+        return (self._complete_flow(text)
+                + [k + " " for k in keys if k.startswith(text)])
+
     def _flow(self, name: str | None):
         """Look up a flow by name or alias; None/'' -> the active flow."""
         if not name:
@@ -201,7 +230,14 @@ class Console(cmd.Cmd):
             self._say(f"startflow: {e}")
             return
         fl.error = None
-        fl.runner = FlowRunner(rx.step, watchdog_s=None, max_iterations=n)
+        # Reference flows always enforce the 1.5 s per-block watchdog
+        # (README.md:108, sampleblock.cu:432-447); same default here, with
+        # `setparam watchdog <seconds>` as the escape hatch (<=0 disables).
+        # The first iteration gets grace: that is where the jit compile
+        # lands, which the reference pays in Start() instead.
+        wd = float(fl.overrides.get("watchdog", 1.5))
+        fl.runner = FlowRunner(rx.step, watchdog_s=wd if wd > 0 else None,
+                               max_iterations=n, warmup_iterations=1)
 
         def _run():
             try:

@@ -59,10 +59,15 @@ class FlowRunner:
     def __init__(self, step_fn, watchdog_s: float | None = 1.5,
                  max_iterations: int | None = None,
                  realtime_budget_s: float | None = None,
-                 source_fn=None):
+                 source_fn=None, warmup_iterations: int = 0):
         self.step_fn = step_fn
         self.watchdog_s = watchdog_s
         self.max_iterations = max_iterations
+        # warmup_iterations: iterations exempt from the watchdog (still
+        # timed). The reference does all allocation/planning in Start() so
+        # its iteration 1 is steady-state (flow.cu:28-87); here the jit
+        # compile lands on the first step, so callers may grant it grace.
+        self.warmup_iterations = warmup_iterations
         self.realtime_budget_s = realtime_budget_s
         # source_fn: untimed per-iteration sample fetch. The reference
         # starts iteration timing AFTER SampleBlock returns, isolating
@@ -103,7 +108,8 @@ class FlowRunner:
             self.stats.add(dt)
             if self.realtime_budget_s is not None and dt > self.realtime_budget_s:
                 self.realtime_misses += 1
-            if self.watchdog_s is not None and dt > self.watchdog_s:
+            if self.watchdog_s is not None and dt > self.watchdog_s \
+                    and self.stats.n > self.warmup_iterations:
                 raise WatchdogError(
                     f"iteration {self.stats.n} took {dt:.3f}s "
                     f"(> {self.watchdog_s}s watchdog)")

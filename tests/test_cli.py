@@ -160,6 +160,62 @@ def test_console_stopflow_midrun(tiny_capture):
     c.onecmd("quit")
 
 
+def test_console_startflow_watchdog_default_and_fires(monkeypatch):
+    """startflow enforces the reference's 1.5 s per-block watchdog by
+    default (README.md:108, sampleblock.cu:432-447) with `setparam
+    watchdog` as the escape hatch; the first iteration (jit compile) gets
+    grace, a later stall kills the flow."""
+    import time
+
+    import navlab_dpe_sdr_tpu.console as console_mod
+
+    class _SlowRx:
+        def __init__(self):
+            self.n = 0
+            self.fixes = []
+
+        def step(self):
+            self.n += 1
+            if self.n >= 2:
+                time.sleep(0.06)
+
+    monkeypatch.setattr(console_mod._Flow, "build",
+                        lambda self: _SlowRx())
+    c, out = _console()
+    c.onecmd("newflow f cap.dat hand.csv")
+    c.onecmd("setparam f watchdog 0.02")
+    c.onecmd("startflow f 10")
+    assert "failed" in out.getvalue() and "watchdog" in out.getvalue()
+    # iteration 1 was exempt (compile grace); iteration 2 tripped it
+    assert c.flows["f"].runner.stats.n == 2
+
+    # default (no setparam) is the reference's 1.5 s, not disabled
+    c.onecmd("newflow g cap.dat hand.csv")
+    c.onecmd("startflow g 2")
+    assert c.flows["g"].runner.watchdog_s == 1.5
+
+    # watchdog <= 0 disables
+    c.onecmd("newflow h cap.dat hand.csv")
+    c.onecmd("setparam h watchdog 0")
+    c.onecmd("startflow h 2")
+    assert c.flows["h"].runner.watchdog_s is None
+
+
+def test_console_tab_completion():
+    """complete_* hooks (the reference scaffolds completion in
+    cmdReader.cpp): command names, flow names/aliases, setparam keys."""
+    c, _ = _console()
+    c.flows = {"alpha": None, "beta": None}
+    c.aliases = {"primary": "alpha"}
+    assert "startflow " in c.completenames("start")
+    assert c.complete_startflow("al", "", 0, 0) == ["alpha "]
+    assert set(c.complete_stopflow("", "", 0, 0)) == {
+        "alpha ", "beta ", "primary "}
+    keys = c.complete_setparam("eng", "", 0, 0)
+    assert "engine " in keys
+    assert "watchdog " in c.complete_setparam("watch", "", 0, 0)
+
+
 class TestAxonProbe:
     """The axon-health probe + CPU-fallback policy (no device needed)."""
 

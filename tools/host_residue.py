@@ -10,6 +10,12 @@ exact bench segment (device-resident capture, pipeline depth 2) and
 prints the per-dispatch split, so the next rtf lever is chosen from
 data rather than guesses.
 
+Caveat: under pipeline depth >= 2, _drain_batch blocks on device
+completion of the oldest in-flight dispatch, so drain_ms mixes
+device-compute wait with true host fetch/parse work — subtract the
+device-only per-dispatch cost from tools/stage_timing.py (full_g5) to
+isolate the host share.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/host_residue.py [n_blocks]
 Reuses the bench capture cache and the warm (lookahead=50, group_k=5)
 jit signature — run after bench.py so no new-signature warmup is paid.
@@ -43,13 +49,21 @@ def main():
     sim, hand, arr = make_scenario(nav_data=True, cn0_dbhz=47.0)
     n = 50000 * (n_blocks + warmup)
     cache = f"/tmp/navlab_tpu_fixtures/bench_capture_v2_{50000 * 2350}.dat"
-    if os.path.exists(cache):
+    if os.path.exists(cache) and \
+            os.path.getsize(cache) >= DTYPE_IQ16.itemsize * n:
         samples = np.fromfile(cache, DTYPE_IQ16, count=n)
     else:
+        if os.path.exists(cache):
+            print(f"# cache holds < {n_blocks + warmup} blocks "
+                  f"({os.path.getsize(cache) // (DTYPE_IQ16.itemsize * 50000)}"
+                  " cached); synthesizing fresh")
         iq = sim.generate(n)
         samples = np.empty(n, DTYPE_IQ16)
         samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
         samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+        del iq
+        from navlab_dpe_sdr_tpu.io.synth import release_workspace
+        release_workspace()
 
     rf = SampleFile(samples=samples, fs=2.5e6)
     rx = DPEReceiver(rf, hand, grid=spread_grid(), eph=arr,
