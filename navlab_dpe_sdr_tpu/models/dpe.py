@@ -938,22 +938,32 @@ class DPEReceiver:
 
     def _apply_measurement(self, pa: int, va: int, r_e2n, rx_time, mc,
                            pos_peak, vel_peak, flip_row, x_pred,
-                           fpk=None, code_mag=None, carr_mag=None):
-        # offsets are relative to the prediction the scoring used
+                           fpk=None, code_mag=None, carr_mag=None,
+                           wmean=None):
+        # offsets are relative to the prediction the scoring used.
+        # wmean: optional [8] continuous offsets from the device-side
+        # score-weighted-mean estimator (use_argmax=False; reference
+        # BCM_PosMeas/BCM_VelMeas, batchcorrmanifold.cu:348-784) —
+        # replaces the lattice values, argmax still names the peak cell.
+        if wmean is not None:
+            dp4 = np.asarray(wmean[0:4], dtype=np.float64)
+            dv4 = np.asarray(wmean[4:8], dtype=np.float64)
+        else:
+            dp4 = np.concatenate([self.grid.d_enu[pa],
+                                  [self.grid.dt_m[pa]]])
+            dv4 = np.concatenate([self.grid.dv_enu[va],
+                                  [self.grid.dtdot[va]]])
         z = np.asarray(x_pred, dtype=np.float64).copy()
-        z[0:3] += r_e2n.T @ self.grid.d_enu[pa]
-        z[3] += self.grid.dt_m[pa]
-        z[4:7] += r_e2n.T @ self.grid.dv_enu[va]
-        z[7] += self.grid.dtdot[va]
+        z[0:3] += r_e2n.T @ dp4[0:3]
+        z[3] += dp4[3]
+        z[4:7] += r_e2n.T @ dv4[0:3]
+        z[7] += dv4[3]
         r_meas = None
         if (self.cfg.ekf_mode == "full" and code_mag is not None
                 and fpk is not None):
             r_meas = self._adaptive_r(
                 code_mag, carr_mag, fpk[7], fpk[8], fpk[9], fpk[10],
-                fpk[3:6].T,
-                np.concatenate([self.grid.d_enu[pa], [self.grid.dt_m[pa]]]),
-                np.concatenate([self.grid.dv_enu[va],
-                                [self.grid.dtdot[va]]]), r_e2n)
+                fpk[3:6].T, dp4, dv4, r_e2n)
         self.ekf.measurement_update(z, R=r_meas)
         self.flip_log.append(flip_row)
         fix = DPEFix(mc=mc, rx_time=rx_time,
@@ -993,7 +1003,7 @@ class DPEReceiver:
                             or self.cfg.ekf_mode == "full"),
             mesh=self.cfg.mesh,
             code_win=self.code_win, carr_win=self.carr_win,
-            group_k=group_k)
+            group_k=group_k, use_argmax=self.cfg.use_argmax)
         try:
             # queue the device->host copy now: it runs as soon as the batch
             # finishes on device, overlapping the NEXT batch's host prep, so
@@ -1012,9 +1022,14 @@ class DPEReceiver:
         pps = rows[:, 1]
         vps = rows[:, 3]
         flips = rows[:, 4:4 + c]
-        if rows.shape[1] > 4 + c:       # windows present (refine / full EKF)
-            code_mags = rows[:, 4 + c:4 + c + c * cw].reshape(-1, c, cw)
-            carr_mags = rows[:, 4 + c + c * cw:].reshape(-1, c, vw)
+        base = 4 + c
+        wmeans = None
+        if not self.cfg.use_argmax:     # weighted-mean cols follow flips
+            wmeans = rows[:, base:base + dpe_real_ops.WMEAN_COLS]
+            base += dpe_real_ops.WMEAN_COLS
+        if rows.shape[1] > base:        # windows present (refine / full EKF)
+            code_mags = rows[:, base:base + c * cw].reshape(-1, c, cw)
+            carr_mags = rows[:, base + c * cw:].reshape(-1, c, vw)
         else:
             code_mags = carr_mags = None
         for i in range(rows.shape[0]):
@@ -1034,7 +1049,9 @@ class DPEReceiver:
                                         code_mag=(None if code_mags is None
                                                   else code_mags[i]),
                                         carr_mag=(None if carr_mags is None
-                                                  else carr_mags[i]))
+                                                  else carr_mags[i]),
+                                        wmean=(None if wmeans is None
+                                               else wmeans[i]))
         # steer channel frequencies from the newest state at the current epoch
         self.rx_time_a = self.rx_time - self.ekf.x[3] / C
         self._update_channels_from_state()
@@ -1141,7 +1158,8 @@ class DPEReceiver:
                 n_blocks=n, l_power=self.cfg.l_power,
                 interp=self.cfg.interp, mesh=self.cfg.mesh,
                 code_win=self.code_win, carr_win=self.carr_win,
-                coherent=coherent, return_windows=want_windows)
+                coherent=coherent, return_windows=want_windows,
+                use_argmax=self.cfg.use_argmax)
             try:        # overlap the device->host fetch with nothing else
                 res[0].copy_to_host_async()                 # pending here,
             except (AttributeError, RuntimeError):          # but free
@@ -1150,6 +1168,7 @@ class DPEReceiver:
             flips = np.asarray(res[1])
             pa_i, va_i = dpe_real_ops.unpack_row_indices(row[None, :])
             pa_i, va_i = int(pa_i[0]), int(va_i[0])
+            wmean = row[4:12] if not self.cfg.use_argmax else None
             # the measurement is referenced to the LAST block's prediction
             # (identical to every other block's: X frozen during the batch)
             fpk_last, _, r_e2n, rx_time, mc, x_pred = preps[-1]
@@ -1176,7 +1195,7 @@ class DPEReceiver:
             else:
                 self._apply_measurement(pa_i, va_i, r_e2n,
                                         rx_time, mc, row[1], row[3],
-                                        flips[-1], x_pred)
+                                        flips[-1], x_pred, wmean=wmean)
             if collect is not None:
                 collect.append((code_mag, carr_mag, fpk_last, r_e2n,
                                 rx_time, x_pred))
@@ -1401,11 +1420,6 @@ class DPEReceiver:
     def _check_batch_mode(self, raw_blocks_dev, start_block, n_blocks):
         """Reject configurations the batched/integrated device paths do not
         honor, instead of silently diverging from run()."""
-        if not self.cfg.use_argmax:
-            raise ValueError(
-                "batched/integrated modes compute the argmax on device; "
-                "the score-weighted-mean estimator (use_argmax=False) "
-                "needs the per-block run() path")
         if self.cfg.dump_scores_to:
             raise ValueError(
                 "dump_scores_to needs the per-block run() path (batched/"

@@ -819,7 +819,7 @@ def _constrain_chan(mesh, out: "RealBlockOut", los_enu, fpk):
 def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
                        valid, interp: str, l_power: int, chunk: int,
                        block_sum: bool, psum_axis: str | None,
-                       psum_group: int = 4):
+                       psum_group: int = 4, weighted: bool = False):
     """Streaming (max, argmax) over a (local) grid slice.
 
     Scans grid chunks carrying the running best; tie-break keeps the first
@@ -835,6 +835,11 @@ def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
     ICI launch latency) otherwise dominates the chan-sharded scorer
     (~135 us x 2 manifolds x G/chunk per batch, measured r3); the scoring
     math and first-occurrence tie-break are unchanged.
+    weighted=True also accumulates sum(score * [o3, o1]) [.., 4] and
+    sum(score) [..] over the grid — the score-weighted-mean estimator of
+    reference BCM_PosMeas/BCM_VelMeas (batchcorrmanifold.cu:348-784,
+    atomicAdd weighted mean), as one extra fused reduction per chunk.
+    Returns (best, arg) or (best, arg, wsum4, wtot).
     """
     n = win_mag.shape[0]
     off3_ch, off1_ch, valid_ch, chunk = _chunked_grid(off3, off1, chunk,
@@ -856,48 +861,62 @@ def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
         n_steps = n_chunks
 
     def step(carry, xs):
-        best, arg = carry
+        best, arg, wsum4, wtot = carry
         o3, o1, vmask, k = xs
         if m > 1:
             scores = jnp.concatenate(
                 [_score_chunk(win_mag, los_enu, centers, coefs, r0,
                               o3[i], o1[i], interp, l_power)
                  for i in range(m)], axis=-1)           # [N, m*chunk]
+            o3f = o3.reshape(m * chunk, 3)
+            o1f = o1.reshape(m * chunk)
         else:
             scores = _score_chunk(win_mag, los_enu, centers, coefs, r0,
                                   o3, o1, interp, l_power)  # [N, chunk]
+            o3f, o1f = o3, o1
         if psum_axis is not None:
             scores = jax.lax.psum(scores, psum_axis)
         if block_sum:
             scores = jnp.sum(scores, axis=0)            # [m*chunk]
-        scores = jnp.where(vmask if block_sum else vmask[None, :],
-                           scores, -jnp.inf)
+        vm = vmask if block_sum else vmask[None, :]
+        if weighted:
+            sz = jnp.where(vm, scores, 0.0)
+            o4 = jnp.concatenate([o3f, o1f[:, None]], axis=1)  # [k, 4]
+            wsum4 = wsum4 + sz @ o4
+            wtot = wtot + jnp.sum(sz, axis=-1)
+        scores = jnp.where(vm, scores, -jnp.inf)
         cb = jnp.max(scores, axis=-1)
         ca = (jnp.argmax(scores, axis=-1).astype(jnp.int32)
               + k * np.int32(m * chunk))
         take = cb > best
         return (jnp.where(take, cb, best),
-                jnp.where(take, ca, arg).astype(jnp.int32)), None
+                jnp.where(take, ca, arg).astype(jnp.int32),
+                wsum4, wtot), None
 
     shape = () if block_sum else (n,)
     init = (jnp.full(shape, -jnp.inf, jnp.float32),
-            jnp.zeros(shape, jnp.int32))
-    (best, arg), _ = jax.lax.scan(
+            jnp.zeros(shape, jnp.int32),
+            jnp.zeros(shape + (4,), jnp.float32),
+            jnp.zeros(shape, jnp.float32))
+    (best, arg, wsum4, wtot), _ = jax.lax.scan(
         step, init,
         (off3_ch, off1_ch, valid_ch, jnp.arange(n_steps, dtype=jnp.int32)))
+    if weighted:
+        return best, arg, wsum4, wtot
     return best, arg
 
 
 def _score_axis_sharded(win_mag, los_enu, centers, coefs, r0, off3, off1,
                         interp: str, l_power: int, chunk: int, mesh,
-                        block_sum: bool):
+                        block_sum: bool, weighted: bool = False):
     """shard_map wrapper around _local_argmax_scan (SURVEY §2.3 P3/P7).
 
     Each device streams its own contiguous grid slice with ZERO per-chunk
     communication over 'grid'; channels shard over 'chan' (the C
     contraction becomes one small psum per chunk); the only 'grid'
     collective is the final all-gather of per-device (best, arg) pairs —
-    a few bytes per device. Tie-break: jnp.argmax over the [nd, ...]
+    a few bytes per device (+ one psum of the weighted sums when
+    weighted). Tie-break: jnp.argmax over the [nd, ...]
     gathered bests picks the lowest device index, which holds the earliest
     grid slice — identical to the single-device first-occurrence rule.
     """
@@ -919,58 +938,69 @@ def _score_axis_sharded(win_mag, los_enu, centers, coefs, r0, off3, off1,
     cspec2 = P(None, "chan") if chan_split else P()
 
     def local(win, los, cen, coe, r0l, o3, o1, val):
-        best, arg = _local_argmax_scan(
+        res = _local_argmax_scan(
             win, los, cen, coe, r0l if has_r0 else None, o3, o1, val,
             interp, l_power, chunk, block_sum,
-            psum_axis="chan" if chan_split else None)
+            psum_axis="chan" if chan_split else None, weighted=weighted)
+        best, arg = res[0], res[1]
         k = jax.lax.axis_index("grid").astype(jnp.int32)
         arg = arg + k * np.int32(local_g)
         bests = jax.lax.all_gather(best, "grid")        # [nd, ...]
         args = jax.lax.all_gather(arg, "grid")
         sel = jnp.argmax(bests, axis=0)
-        return (jnp.take_along_axis(bests, sel[None], 0)[0],
-                jnp.take_along_axis(args, sel[None], 0)[0])
+        out = (jnp.take_along_axis(bests, sel[None], 0)[0],
+               jnp.take_along_axis(args, sel[None], 0)[0])
+        if weighted:
+            out = out + (jax.lax.psum(res[2], "grid"),
+                         jax.lax.psum(res[3], "grid"))
+        return out
 
+    out_specs = (P(), P(), P(), P()) if weighted else (P(), P())
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(cspec3, cspec3, cspec2, cspec2, cspec2,
                   P("grid", None), P("grid"), P("grid")),
-        out_specs=(P(), P()), check_vma=False,
+        out_specs=out_specs, check_vma=False,
     )(win_mag, los_enu, centers, coefs, r0_in, off3p, off1p, validp)
 
 
 def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
                        interp: str, l_power: int, chunk: int = _BATCH_CHUNK,
-                       mesh=None):
+                       mesh=None, weighted: bool = False):
     """Streaming (max, argmax) over the grid without materializing [N, G].
 
-    Returns (best [N] f32, arg [N] i32). With a mesh, each device scans
-    its own grid slice (see _score_axis_sharded)."""
+    Returns (best [N] f32, arg [N] i32) (+ (wsum4 [N,4], wtot [N]) when
+    weighted). With a mesh, each device scans its own grid slice (see
+    _score_axis_sharded)."""
     if mesh is not None and int(mesh.shape["grid"]) > 1:
         return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
                                    off3, off1, interp, l_power, chunk,
-                                   mesh, block_sum=False)
+                                   mesh, block_sum=False, weighted=weighted)
     return _local_argmax_scan(win_mag, los_enu, centers, coefs, r0,
                               off3, off1, None, interp, l_power, chunk,
-                              block_sum=False, psum_axis=None)
+                              block_sum=False, psum_axis=None,
+                              weighted=weighted)
 
 
 def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
                            interp: str, l_power: int,
-                           chunk: int = _BATCH_CHUNK, mesh=None):
+                           chunk: int = _BATCH_CHUNK, mesh=None,
+                           weighted: bool = False):
     """Noncoherent block-integrated (max, argmax): sum over blocks then the
     streaming best, without materializing [N, G] or [G].
 
     Streams grid chunks (peak memory independent of G) and reduces the
-    block axis inside each chunk. Returns (best f32, arg i32) scalars.
+    block axis inside each chunk. Returns (best f32, arg i32) scalars
+    (+ (wsum4 [4], wtot) when weighted).
     """
     if mesh is not None and int(mesh.shape["grid"]) > 1:
         return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
                                    off3, off1, interp, l_power, chunk,
-                                   mesh, block_sum=True)
+                                   mesh, block_sum=True, weighted=weighted)
     return _local_argmax_scan(win_mag, los_enu, centers, coefs, r0,
                               off3, off1, None, interp, l_power, chunk,
-                              block_sum=True, psum_axis=None)
+                              block_sum=True, psum_axis=None,
+                              weighted=weighted)
 
 
 @functools.partial(jax.jit, static_argnames=("carr_fftpts", "period",
@@ -978,7 +1008,7 @@ def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
                                              "l_power", "interp",
                                              "return_windows", "mesh",
                                              "code_win", "carr_win",
-                                             "group_k"))
+                                             "group_k", "use_argmax"))
 def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
                      d_enu, dt_m, dv_enu, dtdot,
                      carr_fftpts: int, period: int, n_periods: int,
@@ -986,7 +1016,7 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
                      interp: str = "quadratic",
                      return_windows: bool = True, mesh=None,
                      code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
-                     group_k: int = 1):
+                     group_k: int = 1, use_argmax: bool = True):
     """Block-batched fused DPE: vmap over blocks instead of a device loop.
 
     pk: [N, PK_ROWS, C] float32 packed per-block parameters + start index
@@ -1040,13 +1070,18 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
                                n_blocks, code_win, carr_win)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
     out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
-    pb, pa = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],
-                                fpk[:, 8], fpk[:, 6], d_enu, dt_m,
-                                interp, l_power, mesh=mesh)   # [N], [N]
-    vb, va = _score_axis_argmax(out.carr_mag, los_enu, fpk[:, 9],
-                                fpk[:, 10], None, dv_enu, dtdot,
-                                interp, l_power, mesh=mesh)
-    return _pack_rows(out, pa, pb, va, vb, return_windows)
+    weighted = not use_argmax
+    pres = _score_axis_argmax(out.code_mag, los_enu, fpk[:, 7],
+                              fpk[:, 8], fpk[:, 6], d_enu, dt_m,
+                              interp, l_power, mesh=mesh,
+                              weighted=weighted)        # [N], [N][, ...]
+    vres = _score_axis_argmax(out.carr_mag, los_enu, fpk[:, 9],
+                              fpk[:, 10], None, dv_enu, dtdot,
+                              interp, l_power, mesh=mesh, weighted=weighted)
+    pb, pa = pres[0], pres[1]
+    vb, va = vres[0], vres[1]
+    wmean = _weighted_cols(pres, vres) if weighted else None
+    return _pack_rows(out, pa, pb, va, vb, return_windows, wmean=wmean)
 
 
 def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
@@ -1111,13 +1146,29 @@ def _coherent_sum(outc: RealBlockOutC) -> RealBlockOut:
         flip_used=outc.flip_used)
 
 
-def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
+WMEAN_COLS = 8  # pos weighted-mean offsets [4] + vel weighted-mean [4]
+
+
+def _weighted_cols(pres, vres):
+    """[..., 8] score-weighted-mean offsets from the (best, arg, wsum4,
+    wtot) results of a weighted scoring pass: sum(w*offset)/sum(w) per
+    manifold (reference BCM_*Meas atomicAdd estimator,
+    batchcorrmanifold.cu:348-784; PyGNSS receiver.py:254-320)."""
+    pmean = pres[2] / jnp.maximum(pres[3][..., None], 1e-30)
+    vmean = vres[2] / jnp.maximum(vres[3][..., None], 1e-30)
+    return jnp.concatenate([pmean, vmean], axis=-1)
+
+
+def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool,
+               wmean=None):
     """One float32 row per block so the host needs a single fetch.
 
     Argmax indices are BITCAST into the f32 lanes (unpack_row_indices on
     the host), not value-converted: float32 only holds integers exactly
     to 2^24 = 16.7M and a dense 75^4 manifold has 31.6M points — a cast
-    would silently round the winning index."""
+    would silently round the winning index.
+
+    Layout: [head 4][flips C][wmean 8, only when weighted][windows]."""
     n = pa.shape[0]
     head = jnp.stack([jax.lax.bitcast_convert_type(pa.astype(jnp.int32),
                                                    jnp.float32), pb,
@@ -1125,6 +1176,8 @@ def _pack_rows(out: RealBlockOut, pa, pb, va, vb, return_windows: bool):
                                                    jnp.float32), vb],
                      axis=1)                                  # [N, 4]
     parts = [head, out.flip_used.astype(jnp.float32)]
+    if wmean is not None:
+        parts.append(wmean)                                   # [N, 8]
     if return_windows:
         parts += [out.code_mag.reshape(n, -1), out.carr_mag.reshape(n, -1)]
     return jnp.concatenate(parts, axis=1)
@@ -1144,7 +1197,8 @@ def unpack_row_indices(rows: "np.ndarray") -> tuple:
                                              "n_periods", "n_blocks",
                                              "l_power", "interp", "mesh",
                                              "code_win", "carr_win",
-                                             "coherent", "return_windows"))
+                                             "coherent", "return_windows",
+                                             "use_argmax"))
 def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                        d_enu, dt_m, dv_enu, dtdot,
                        carr_fftpts: int, period: int, n_periods: int,
@@ -1152,7 +1206,8 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
                        interp: str = "quadratic", mesh=None,
                        code_win: int = CODE_WIN, carr_win: int = CARR_WIN,
                        coherent: bool = False,
-                       return_windows: bool = False):
+                       return_windows: bool = False,
+                       use_argmax: bool = True):
     """Multi-block score integration in one dispatch.
 
     Noncoherent (default): accumulates the position/velocity score
@@ -1192,16 +1247,23 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
     los_enu = jnp.transpose(fpk_s[:, 3:6], (0, 2, 1))
     flips = out.flip_used
     out, los_enu, fpk_s = _constrain_chan(mesh, out, los_enu, fpk_s)
-    pb, pa = _score_axis_accumulate(
+    weighted = not use_argmax
+    pres = _score_axis_accumulate(
         out.code_mag, los_enu, fpk_s[:, 7], fpk_s[:, 8], fpk_s[:, 6],
-        d_enu, dt_m, interp, l_power, mesh=mesh)
-    vb, va = _score_axis_accumulate(
+        d_enu, dt_m, interp, l_power, mesh=mesh, weighted=weighted)
+    vres = _score_axis_accumulate(
         out.carr_mag, los_enu, fpk_s[:, 9], fpk_s[:, 10], None,
-        dv_enu, dtdot, interp, l_power, mesh=mesh)
+        dv_enu, dtdot, interp, l_power, mesh=mesh, weighted=weighted)
+    pb, pa = pres[0], pres[1]
+    vb, va = vres[0], vres[1]
     head = jnp.stack([jax.lax.bitcast_convert_type(pa.astype(jnp.int32),
                                                    jnp.float32), pb,
                       jax.lax.bitcast_convert_type(va.astype(jnp.int32),
                                                    jnp.float32), vb])
+    if weighted:
+        # head grows to 12: [pa, pb, va, vb, wmean(8)] — weighted-mean
+        # offsets of the INTEGRATED surfaces
+        head = jnp.concatenate([head, _weighted_cols(pres, vres)])
     if return_windows:
         # the integrated window magnitudes, interpretable with the LAST
         # block's params (the per-block preps re-anchor the window centers,

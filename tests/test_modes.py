@@ -69,6 +69,37 @@ def test_weighted_mean_estimator(scene):
     assert np.median(errs) < 40.0, errs
 
 
+def test_weighted_mean_device_matches_host(scene):
+    """The device-side streaming weighted-mean estimator (batched /
+    integrated modes; reference BCM_PosMeas/BCM_VelMeas atomicAdd
+    estimator, batchcorrmanifold.cu:348-784) must match the per-block
+    host path (full-surface fetch + f64 mean) at lookahead=1, where the
+    batched sequencing is identical to run()."""
+    samples, hand, arr = scene
+    cfg = DPEConfig(use_argmax=False)
+    rx_h = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), config=cfg,
+                       eph=copy.deepcopy(arr))
+    rx_h.run(5)
+    rx_d = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), config=copy.deepcopy(cfg),
+                       eph=copy.deepcopy(arr))
+    rx_d.run_batched(5, lookahead=1)
+    assert len(rx_h.fixes) == len(rx_d.fixes) == 5
+    for fh, fd in zip(rx_h.fixes, rx_d.fixes):
+        np.testing.assert_allclose(fd.x_ecef, fh.x_ecef, atol=0.05)
+
+    # integrated mode accepts the weighted estimator too and lands in the
+    # same neighborhood as its argmax counterpart
+    rx_i = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), config=copy.deepcopy(cfg),
+                       eph=copy.deepcopy(arr))
+    rx_i.run_integrated(2, blocks_per_fix=4)
+    errs = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3])
+            for f in rx_i.fixes]
+    assert np.median(errs) < 40.0, errs
+
+
 def test_full_ekf_mode(scene):
     samples, hand, arr = scene
     rf = SampleFile(samples=samples.copy(), fs=FS)

@@ -121,6 +121,22 @@ def test_receiver_mesh_per_block_and_integrated():
         np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
 
 
+def test_receiver_mesh_weighted_mean_matches_single():
+    """The device-side score-weighted-mean estimator (use_argmax=False;
+    reference BCM_PosMeas, batchcorrmanifold.cu:348-784) under the mesh:
+    per-device partial sums psum over 'grid' must reproduce the
+    single-device weighted mean."""
+    samples, hand, arr, truth = _scenario_samples(6)
+    rx1 = _mk_rx(samples, hand, arr, use_argmax=False)
+    rx1.run_batched(6, lookahead=3)
+    m = pmesh.make_mesh(n_grid=4, n_chan=2)
+    rx2 = _mk_rx(samples, hand, arr, use_argmax=False, mesh=m)
+    rx2.run_batched(6, lookahead=3)
+    assert len(rx1.fixes) == len(rx2.fixes) == 6
+    for f1, f2 in zip(rx1.fixes, rx2.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-3)
+
+
 def test_receiver_mesh_grouped_batched_matches_single():
     """Coherent-grouped batched mode (group_k) on the mesh: grouping happens
     before the chan/grid sharding constraints, so the sharded scorer sees
