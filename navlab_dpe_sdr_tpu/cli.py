@@ -566,10 +566,13 @@ def cmd_live(args):
         gkw["n"] = args.grid_n
     grid = make_grid(args.grid, **gkw)
 
-    srv = PacedReplayServer(args.file, fs=args.fs,
-                            start_byte=hand.bytes_read)
-    print(f"paced server: 127.0.0.1:{srv.port} at {args.fs / 1e6:.2f} Msps "
-          f"(skip {hand.bytes_read} B)")
+    use_sim = args.source == "sim"
+    srv = None
+    if not use_sim:
+        srv = PacedReplayServer(args.file, fs=args.fs,
+                                start_byte=hand.bytes_read)
+        print(f"paced server: 127.0.0.1:{srv.port} at "
+              f"{args.fs / 1e6:.2f} Msps (skip {hand.bytes_read} B)")
 
     # a zero-sample SampleFile donor provides fs/S/block geometry; samples
     # arrive from the socket
@@ -597,8 +600,18 @@ def cmd_live(args):
     del warm_rx
     print(f"pipeline warmup: {_time.perf_counter() - t0:.1f} s")
 
-    stream = open_tcp_source("127.0.0.1", srv.port, block_samples=rx.S,
-                             timeout_s=args.watchdog)
+    if use_sim:
+        # in-process simulated radio (io.frontend): the same wall-clock
+        # delivery contract as the TCP pacer, through the SampleSource
+        # interface every front-end (incl. SoapyRadio hardware) implements
+        from .io.frontend import SimulatedRadio
+        stream = SimulatedRadio(args.file, fs=args.fs, block_samples=rx.S,
+                                start_byte=hand.bytes_read)
+        print(f"simulated radio: wall-clock paced at "
+              f"{args.fs / 1e6:.2f} Msps (skip {hand.bytes_read} B)")
+    else:
+        stream = open_tcp_source("127.0.0.1", srv.port, block_samples=rx.S,
+                                 timeout_s=args.watchdog)
     n_blocks = int(round(args.seconds / cfg.T)) if args.seconds else 10 ** 9
     if k > 1 and n_blocks < 10 ** 9 and n_blocks % k:
         # only the [k, S, 2] batch signature is pre-warmed; a partial
@@ -661,7 +674,9 @@ def cmd_live(args):
         "rt_misses": runner.realtime_misses,
         "watchdog_s": args.watchdog,
         "margin_x": round(margin, 2),
-        "server_behind_max_ms": round(srv.behind_max_s * 1e3, 3),
+        "server_behind_max_ms": round(
+            (srv if srv is not None else stream).behind_max_s * 1e3, 3),
+        "source": args.source,
         "fs": args.fs,
     }
     print(stats.summary())
@@ -673,6 +688,34 @@ def cmd_live(args):
         with open(args.json, "w") as fo:
             json.dump(rec, fo, indent=1)
         print(f"wrote {args.json}")
+
+
+def cmd_record(args):
+    """Capture recorder: pump a sample source into timestamped rotating
+    files (the guhd capture tool: guhd.cpp main loop + buffer.cpp:47-78
+    filename/rotation contract)."""
+    import time as _time
+
+    from .io.frontend import RotatingRecorder, open_source, record
+
+    src = open_source(args.source, fs=args.fs,
+                      block_samples=args.block_samples, loop=args.loop)
+    rec = RotatingRecorder(args.out_dir, fs=args.fs,
+                           usrp_index=args.usrp_index,
+                           rotate_s=args.rotate_s)
+    t0 = _time.perf_counter()
+    with src, rec:
+        n = record(src, rec, seconds=args.seconds)
+    wall = _time.perf_counter() - t0
+    sig_s = n * args.block_samples / args.fs
+    print(f"recorded {n} blocks ({sig_s:.1f} s of signal, "
+          f"{n * args.block_samples * 4 / 1e6:.1f} MB) into "
+          f"{len(rec.files)} file(s) in {wall:.1f} s")
+    for p in rec.files:
+        print(f"  {p}")
+    behind = getattr(src, "behind_max_s", None)
+    if behind is not None:
+        print(f"recorder fell behind the radio at most {behind * 1e3:.2f} ms")
 
 
 def cmd_console(args):
@@ -1101,7 +1144,27 @@ def main(argv=None):
     pl.add_argument("--watchdog", type=float, default=1.5)
     pl.add_argument("--set", action="append", default=[], metavar="K=V")
     pl.add_argument("--json", help="write the run record here")
+    pl.add_argument("--source", default="tcp", choices=["tcp", "sim"],
+                    help="tcp = paced TCP replay server; sim = in-process "
+                    "simulated radio (io.frontend.SimulatedRadio)")
     pl.set_defaults(fn=cmd_live)
+
+    pr = sub.add_parser("record", help="record a sample source to "
+                        "timestamped rotating capture files (guhd capture "
+                        "tool: YYYYMMDD_HHMMSS_usrpN_rateKHz.dat)")
+    pr.add_argument("source", help="capture path | sim://path | "
+                    "tcp://host:port | soapy://driver=...")
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument("--fs", type=float, default=2.5e6)
+    pr.add_argument("--seconds", type=float, default=None,
+                    help="stop after this much signal (default: full source)")
+    pr.add_argument("--rotate-s", type=float, default=600.0,
+                    help="seconds of signal per file (reference: 600)")
+    pr.add_argument("--block-samples", type=int, default=50000)
+    pr.add_argument("--usrp-index", type=int, default=0)
+    pr.add_argument("--loop", action="store_true",
+                    help="sim:// source loops its capture")
+    pr.set_defaults(fn=cmd_record)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--blocks", type=int, default=100)

@@ -692,12 +692,22 @@ def _unpack_params(pk):
 
 import os as _os
 
-# Grid points per chunk in the block-batched scorer. The default is pinned
-# (changing it changes every jit signature — expensive on runtimes with
-# per-program warmup); the env override exists for CPU-mesh scaling
-# studies where per-chunk barrier overhead vs cache footprint trades
-# differently than on TPU.
-_BATCH_CHUNK = int(_os.environ.get("NAVLAB_BATCH_CHUNK", "8192"))
+# Grid points per chunk in the block-batched scorer, per backend. The TPU
+# default is pinned at 8192 (changing it changes every jit signature —
+# expensive on runtimes with per-program warmup; HBM streams don't care
+# about chunk size). On CPU the scoring tensor [N, C, chunk, W] must fit
+# the cache hierarchy: chunk 1024 measured 1.7x faster than 8192 single
+#-core and lifts the 4-device pure-'grid' mesh efficiency 0.60 -> 0.85
+# (product regime, r4) — small chunks keep each core's working set in
+# L2 instead of thrashing the shared L3/DRAM. Env override for studies.
+_BATCH_CHUNK_ENV = _os.environ.get("NAVLAB_BATCH_CHUNK")
+_BATCH_CHUNK = int(_BATCH_CHUNK_ENV) if _BATCH_CHUNK_ENV else None
+
+
+def _default_chunk() -> int:
+    if _BATCH_CHUNK is not None:
+        return _BATCH_CHUNK
+    return 8192 if jax.default_backend() == "tpu" else 1024
 
 # Tap-operand dtype for the 3-tap scorer. None = auto at trace time:
 # bfloat16 on TPU (the one-hot is exact in bf16, window values round at
@@ -814,6 +824,29 @@ def _constrain_chan(mesh, out: "RealBlockOut", los_enu, fpk):
     los_enu = cst(los_enu, c3)
     fpk = cst(fpk, NamedSharding(mesh, P(None, None, "chan")))
     return out, los_enu, fpk
+
+
+def _constrain_block_axis(mesh, tree, axis_ok=True):
+    """Shard leading (block) axes over the 'grid' mesh axis.
+
+    The correlation stage has no grid axis, so on a pure-'grid' mesh it
+    would otherwise run fully REPLICATED on every device — an Amdahl
+    floor that caps strong scaling at small grids (measured r3: 0.60
+    efficiency at 4 devices on the product 25^4 regime). Blocks are
+    independent through correlation, so the same devices data-parallel
+    over the block axis here, then re-gather the tiny [N, C, W] windows
+    (a few hundred KB) for grid-sharded scoring — two cheap collectives
+    per dispatch inserted by GSPMD at the constraint boundary."""
+    if mesh is None or int(mesh.shape.get("grid", 1)) == 1 or not axis_ok:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def cst(x):
+        spec = ["grid"] + [None] * (x.ndim - 1)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(cst, tree)
 
 
 def _local_argmax_scan(win_mag, los_enu, centers, coefs, r0, off3, off1,
@@ -965,13 +998,15 @@ def _score_axis_sharded(win_mag, los_enu, centers, coefs, r0, off3, off1,
 
 
 def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
-                       interp: str, l_power: int, chunk: int = _BATCH_CHUNK,
+                       interp: str, l_power: int, chunk: int | None = None,
                        mesh=None, weighted: bool = False):
     """Streaming (max, argmax) over the grid without materializing [N, G].
 
     Returns (best [N] f32, arg [N] i32) (+ (wsum4 [N,4], wtot [N]) when
     weighted). With a mesh, each device scans its own grid slice (see
-    _score_axis_sharded)."""
+    _score_axis_sharded). chunk=None resolves per backend
+    (_default_chunk)."""
+    chunk = chunk or _default_chunk()
     if mesh is not None and int(mesh.shape["grid"]) > 1:
         return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
                                    off3, off1, interp, l_power, chunk,
@@ -984,15 +1019,16 @@ def _score_axis_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
 
 def _score_axis_accumulate(win_mag, los_enu, centers, coefs, r0, off3, off1,
                            interp: str, l_power: int,
-                           chunk: int = _BATCH_CHUNK, mesh=None,
+                           chunk: int | None = None, mesh=None,
                            weighted: bool = False):
     """Noncoherent block-integrated (max, argmax): sum over blocks then the
     streaming best, without materializing [N, G] or [G].
 
     Streams grid chunks (peak memory independent of G) and reduces the
     block axis inside each chunk. Returns (best f32, arg i32) scalars
-    (+ (wsum4 [4], wtot) when weighted).
+    (+ (wsum4 [4], wtot) when weighted). chunk=None resolves per backend.
     """
+    chunk = chunk or _default_chunk()
     if mesh is not None and int(mesh.shape["grid"]) > 1:
         return _score_axis_sharded(win_mag, los_enu, centers, coefs, r0,
                                    off3, off1, interp, l_power, chunk,
@@ -1057,9 +1093,11 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
         outc = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                                 time_idc, carr_fftpts, period, n_periods,
                                 n_blocks, code_win, carr_win,
-                                complex_out=True)
+                                complex_out=True, mesh=mesh)
         outg = jax.vmap(_coherent_sum)(RealBlockOutC(
-            *(x.reshape((g, group_k) + x.shape[1:]) for x in outc)))
+            *_constrain_block_axis(
+                mesh,
+                tuple(x.reshape((g, group_k) + x.shape[1:]) for x in outc))))
         out = RealBlockOut(code_mag=outg.code_mag[:, 0],
                            carr_mag=outg.carr_mag[:, 0],
                            flip_used=outg.flip_used[:, -1])    # [G, C, W]
@@ -1067,7 +1105,7 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
     else:
         out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                                time_idc, carr_fftpts, period, n_periods,
-                               n_blocks, code_win, carr_win)
+                               n_blocks, code_win, carr_win, mesh=mesh)
     los_enu = jnp.transpose(fpk[:, 3:6], (0, 2, 1))     # [N, C, 3]
     out, los_enu, fpk = _constrain_chan(mesh, out, los_enu, fpk)
     weighted = not use_argmax
@@ -1087,20 +1125,29 @@ def dpe_batch_blocks(raw_all_i16, pk, chips, base0, time_idc,
 def _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0, time_idc,
                      carr_fftpts: int, period: int, n_periods: int,
                      n_blocks: int, code_win: int = CODE_WIN,
-                     carr_win: int = CARR_WIN, complex_out: bool = False):
-    """Slice n_blocks from the device capture and correlate them (vmapped)."""
+                     carr_win: int = CARR_WIN, complex_out: bool = False,
+                     mesh=None):
+    """Slice n_blocks from the device capture and correlate them (vmapped).
+
+    With a mesh, the block axis shards over 'grid' (and channels over
+    'chan') — blocks are independent through correlation, so the grid
+    devices data-parallel here instead of replicating the stage
+    (_constrain_block_axis)."""
     raw = jax.lax.dynamic_slice(
         raw_all_i16, (start, 0, 0),
         (n_blocks,) + tuple(raw_all_i16.shape[1:]))     # [N, S, 2]
     raw_re = raw[..., 0].astype(jnp.float32)
     raw_im = raw[..., 1].astype(jnp.float32)
-    return jax.vmap(
+    raw_re, raw_im, fpk, ipk = _constrain_block_axis(
+        mesh, (raw_re, raw_im, fpk, ipk))
+    out = jax.vmap(
         functools.partial(windowed_correlate, code_win=code_win,
                           carr_win=carr_win, complex_out=complex_out),
         in_axes=(0, 0, None, None, 0, 0, 0, 0, None, 0, 0, None, None, None)
     )(raw_re, raw_im, chips, base0, fpk[:, 0], ipk[:, 0], fpk[:, 1],
       fpk[:, 2], time_idc, ipk[:, 1], ipk[:, 2],
       carr_fftpts, period, n_periods)
+    return _constrain_block_axis(mesh, out)
 
 
 def _coherent_sum(outc: RealBlockOutC) -> RealBlockOut:
@@ -1236,13 +1283,13 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
         outc = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                                 time_idc, carr_fftpts, period, n_periods,
                                 n_blocks, code_win, carr_win,
-                                complex_out=True)
+                                complex_out=True, mesh=mesh)
         out = _coherent_sum(outc)
         fpk_s = fpk[-1:]
     else:
         out = _batch_correlate(raw_all_i16, start, fpk, ipk, chips, base0,
                                time_idc, carr_fftpts, period, n_periods,
-                               n_blocks, code_win, carr_win)
+                               n_blocks, code_win, carr_win, mesh=mesh)
         fpk_s = fpk
     los_enu = jnp.transpose(fpk_s[:, 3:6], (0, 2, 1))
     flips = out.flip_used
@@ -1285,7 +1332,7 @@ def dpe_scan_integrate(raw_all_i16, pk, chips, base0, time_idc,
 def score_joint_argmax(win_mag, los_enu, centers, coefs, r0, off3, off1,
                        interp: str = "quadratic", l_power: int = 1,
                        has_r0: bool = True, mesh=None,
-                       chunk: int = _BATCH_CHUNK):
+                       chunk: int | None = None):
     """Multi-epoch joint (max, argmax): one candidate state scored against
     MANY epochs' integrated windows, each with its own geometry.
 

@@ -50,12 +50,16 @@ def global_mesh(n_chan: int = 1):
 
 
 def scaling_bench(mesh, n_iters: int = 3, grid_scale: int = 1,
-                  n_blocks: int = 5):
+                  n_blocks: int = 8):
     """Grid-points/s throughput of the sharded batched DPE path on this
     mesh — the BASELINE scaling-efficiency metric, measured on the product
     hot path (dpe_batch_blocks: correlation + shard_map streaming-argmax
     manifold scoring) with a spread grid replicated `grid_scale` times
-    along the grid axis. mesh=None measures the single-device path."""
+    along the grid axis. mesh=None measures the single-device path.
+
+    n_blocks=8: divisible by every mesh size measured (1/2/4/8) so the
+    block-sharded correlation stage stays load-balanced (5 blocks over 4
+    devices ran 2/1/1/1 and capped correlation efficiency at 0.625)."""
     import os
     import sys
     import time

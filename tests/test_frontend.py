@@ -1,0 +1,172 @@
+"""RF front-end subsystem tests: SampleSource drivers, the rotating
+capture recorder (guhd buffer.cpp:47-78 contract), the record pump / CLI,
+and the live flow running off the simulated radio."""
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from navlab_dpe_sdr_tpu.io.frontend import (FileSource, RotatingRecorder,
+                                            SimulatedRadio, open_source,
+                                            record)
+
+
+def _iq(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-2048, 2048, (n, 2)).astype(np.int16)
+
+
+def test_rotating_recorder_contract(tmp_path):
+    """Filenames are YYYYMMDD_HHMMSS_usrpN_rateKHz.dat and a new file
+    starts every rotate_s seconds of SIGNAL time (buffer.cpp:47-78; the
+    reference rotates at 10 min — here 2 ms of 1 MHz signal per file)."""
+    fs, s = 1e6, 500                     # 0.5 ms per block
+    data = _iq(500 * 12)
+    rec = RotatingRecorder(str(tmp_path), fs=fs, usrp_index=3,
+                           rotate_s=0.002)
+    with rec:
+        for k in range(12):
+            rec.write(data[k * s:(k + 1) * s])
+    # 12 blocks * 0.5 ms = 6 ms of signal -> 3 files of 4 blocks
+    assert len(rec.files) == 3
+    pat = re.compile(r"^\d{8}_\d{6}_usrp3_1000KHz(_\d+)?\.dat$")
+    for p in rec.files:
+        assert pat.match(os.path.basename(p)), p
+    # contents concatenate to the input, 4 blocks per file
+    back = np.concatenate([np.fromfile(p, np.int16).reshape(-1, 2)
+                           for p in rec.files])
+    np.testing.assert_array_equal(back, data)
+    assert all(os.path.getsize(p) == 4 * s * 4 for p in rec.files)
+
+
+def test_simulated_radio_paces_and_loops(tmp_path):
+    data = _iq(4000)
+    # non-realtime: content fidelity + clean EOF
+    src = SimulatedRadio(data, fs=1e6, block_samples=1500, realtime=False)
+    b0, b1 = src.next_block(), src.next_block()
+    np.testing.assert_array_equal(b0, data[:1500])
+    np.testing.assert_array_equal(b1, data[1500:3000])
+    assert src.next_block() is None      # 1000-sample tail < one block
+
+    # loop=True wraps (an antenna never stops)
+    src = SimulatedRadio(data, fs=1e6, block_samples=1500, realtime=False,
+                         loop=True)
+    for _ in range(3):
+        src.next_block()
+    np.testing.assert_array_equal(src.next_block(), data[1500:3000])
+
+    # realtime pacing: 4 blocks of 10 ms arrive no faster than air time
+    src = SimulatedRadio(data, fs=100e3, block_samples=1000)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        assert src.next_block() is not None
+    elapsed = time.perf_counter() - t0
+    assert elapsed >= 0.75 * 4 * 1000 / 100e3
+    assert src.behind_max_s < 0.5
+
+    # file-backed constructor + start_byte skip
+    path = tmp_path / "cap.dat"
+    data.tofile(path)
+    src = SimulatedRadio(str(path), fs=1e6, block_samples=1000,
+                         realtime=False, start_byte=4000)
+    np.testing.assert_array_equal(src.next_block(), data[1000:2000])
+
+
+def test_open_source_variants(tmp_path):
+    from navlab_dpe_sdr_tpu.io.netsource import FileReplayServer
+    data = _iq(3000)
+    path = tmp_path / "cap.dat"
+    data.tofile(path)
+
+    with open_source(str(path), fs=1e6, block_samples=1000) as src:
+        assert isinstance(src, FileSource)
+        np.testing.assert_array_equal(src.next_block(), data[:1000])
+
+    with open_source(f"sim://{path}", fs=1e6, block_samples=1000) as src:
+        assert isinstance(src, SimulatedRadio)
+        np.testing.assert_array_equal(src.next_block(), data[:1000])
+
+    srv = FileReplayServer(str(path))
+    with open_source(f"tcp://127.0.0.1:{srv.port}", fs=1e6,
+                     block_samples=1000) as src:
+        np.testing.assert_array_equal(np.asarray(src.next_block()),
+                                      data[:1000])
+    srv.join()
+
+    # soapy:// is import-guarded: no SoapySDR on CI hosts
+    with pytest.raises(RuntimeError, match="SoapySDR"):
+        open_source("soapy://driver=rtlsdr", fs=1e6, block_samples=1000)
+
+
+def test_record_pump_and_rotation(tmp_path):
+    """record(): source -> rotating recorder, seconds budget honored."""
+    data = _iq(20000, seed=3)
+    src = SimulatedRadio(data, fs=1e6, block_samples=2000, realtime=False,
+                         loop=True)
+    rec = RotatingRecorder(str(tmp_path / "caps"), fs=1e6, rotate_s=0.004)
+    with src, rec:
+        n = record(src, rec, seconds=0.016)   # 8 blocks of 2 ms
+    assert n == 8
+    assert len(rec.files) == 4                # 2 blocks (4 ms) per file
+    total = sum(os.path.getsize(p) for p in rec.files)
+    assert total == 8 * 2000 * 4
+
+
+def test_cli_record_sim_source(tmp_path):
+    data = _iq(50000 * 3, seed=5)
+    cap = tmp_path / "cap.dat"
+    data.tofile(cap)
+    out = tmp_path / "recs"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "record", f"sim://{cap}", "--out-dir", str(out),
+         "--seconds", "0.04", "--rotate-s", "0.02"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "recorded 2 blocks" in r.stdout
+    files = sorted(os.listdir(out))
+    # 0.04 s of signal at 0.02 s rotation, 0.02 s blocks -> 2 files
+    assert len(files) == 2
+    for f in files:
+        assert re.match(r"\d{8}_\d{6}_usrp0_2500KHz(_\d+)?\.dat", f)
+        assert os.path.getsize(out / f) == 50000 * 4
+    assert "fell behind the radio" in r.stdout
+
+
+def test_cli_live_simulated_radio(tmp_path):
+    """The live flow runs off the simulated-radio front-end driver with
+    zero real-time misses (streamblock.cu:27-79 role; the acceptance
+    check VERDICT r3 item 4 names)."""
+    import json
+
+    cap, hand = tmp_path / "cap.dat", tmp_path / "hand.csv"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "synth", "--out", str(cap), "--handoff", str(hand),
+         "--seconds", "1.0", "--cn0", "50"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-800:]
+    out = tmp_path / "live.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "navlab_dpe_sdr_tpu.cli", "--device", "cpu",
+         "live", str(cap), "--handoff", str(hand), "--lookahead", "10",
+         "--seconds", "0.8", "--grid", "uniform", "--grid-n", "7",
+         "--watchdog", "60", "--source", "sim", "--json", str(out)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-1500:]
+    rec = json.loads(out.read_text())
+    assert rec["source"] == "sim"
+    assert rec["blocks"] == 40
+    assert rec["rt_misses"] == 0
+    assert rec["server_behind_max_ms"] < 500.0
