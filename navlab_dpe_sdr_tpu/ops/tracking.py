@@ -260,13 +260,108 @@ def _epl_gather(code_table: jax.Array, base: jax.Array,
                      axis=-1)
 
 
-def _epl_replicas(code_table, base, phase):
+@functools.lru_cache(maxsize=8)
+def _half_chip_consts(period: int):
+    """Compile-time constant half-chip lookup tables for one code period.
+
+    Period == T_CA * fs exactly, so the nominal half-chip index
+    j0[k] = floor(2 * k * F_CA / fs) and its fraction are data-independent
+    constants; 2046 = 93 * 22 factors them into two constant one-hot
+    matrices (the ops/dpe_real.py `_chip_lookup_consts` idea at half-chip
+    resolution + the `_epl_onehot_factored` digit split). Returns numpy
+    (e_hi [period, 93], e_lo [period, 22], frac2 [period])."""
+    l2 = 2 * int(L_CA)
+    base2 = np.arange(period) * (l2 / float(period))       # exact f64
+    j0 = np.floor(base2).astype(np.int64) % l2
+    frac2 = (base2 - np.floor(base2)).astype(np.float32)
+    e_hi = np.zeros((period, _FACT_HI), np.float32)
+    e_hi[np.arange(period), j0 // _FACT_LO] = 1.0
+    e_lo = np.zeros((period, _FACT_LO), np.float32)
+    e_lo[np.arange(period), j0 % _FACT_LO] = 1.0
+    return e_hi, e_lo, frac2
+
+
+def _epl_const_fold(code_table: jax.Array, phase: jax.Array,
+                    period: int, n_periods: int = 1) -> jax.Array:
+    """E/P/L replicas [C, S, 3] via CONSTANT one-hot tables + per-channel
+    roll — zero per-sample compare volume, exactly periodic tiling.
+
+    The half-chip index splits as floor(2*base0[k] + 2*rc) = j0[k] + s2 +
+    carry(k), with j0 constant and s2 = floor(2*rc) per channel: the phase
+    dependence becomes ONE dynamic-slice roll of the doubled half-chip
+    sequence (per channel, like ops/dpe_real._lag_matrix) plus a [C, P0]
+    carry mask, and the j0 lookup contracts against compile-time-constant
+    e_hi/e_lo matrices (93 x 22 digit split) on the MXU. This removes the
+    [C, S, 93] + [C, S, 22] phase-dependent one-hot build — the VPU
+    compare volume the tracking scan was measured compute-bound on — and,
+    because base0 advances exactly L_CA chips per period, the replica is
+    EXACTLY periodic: computed once per code period and tiled n_periods
+    times (an n_periods-fold saving for coherent windows, coh_ms > 1).
+
+    The taps come from four shifted reads y_e (e in {-1, 0, 1, 2}) of the
+    rolled sequence combined through the carry:
+        P = y0 + carry*(y1 - y0);  E = y1 + carry*(y2 - y1);
+        L = y-1 + carry*(y0 - y-1)
+    (E row = r2[j+1], L row = r2[j-1]: _epl_onehot's integer identities).
+    All operands are exact in f32 (one-hots 0/1, chips +-1), so the result
+    equals an exact-arithmetic gather bit-for-bit; it differs from
+    `_epl_gather(code_table, base, phase)` only where the f32 rounding of
+    base = f32(k/fs)*F_CA lands a half-chip boundary on the other side of
+    a sample (~1 sample per window, a more exact decision here).
+    """
+    c = code_table.shape[0]
+    e_hi_np, e_lo_np, frac2_np = _half_chip_consts(period)
+    e_hi = jnp.asarray(e_hi_np)
+    e_lo = jnp.asarray(e_lo_np)
+    frac2 = jnp.asarray(frac2_np)
+    l2 = 2 * int(L_CA)
+
+    r2 = jnp.repeat(code_table, 2, axis=1)                 # [C, 2046]
+    r2d = jnp.concatenate([r2, r2, r2[:, :4]], axis=1)     # [C, 2*2046+4]
+
+    ph = jnp.mod(phase, np.float32(L_CA))
+    s2 = jnp.floor(2.0 * ph).astype(jnp.int32)             # [C] in [0, 2046)
+    fr = 2.0 * ph - jnp.floor(2.0 * ph)                    # [C] frac
+
+    # rolled[-1 .. 2046+2]: one per-channel slice covers all four shifts
+    def sl(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (l2 + 3,))
+
+    ext = jax.vmap(sl)(r2d, jnp.mod(s2 - 1, np.int32(l2)))  # [C, 2049]
+    shifts = jnp.stack([ext[:, e + 1:e + 1 + l2]
+                        for e in (-1, 0, 1, 2)], axis=1)    # [C, 4, 2046]
+    rsh = shifts.reshape(c, 4, _FACT_HI, _FACT_LO)          # [C,4,93,22]
+
+    # constant-table lookup: A[c,e,k,l] = sum_h e_hi[k,h] * rsh[c,e,h,l]
+    a = jnp.einsum("kh,cehl->cekl", e_hi, rsh,
+                   preferred_element_type=jnp.float32)      # [C,4,P0,22]
+    y = jnp.einsum("kl,cekl->cek", e_lo, a,
+                   preferred_element_type=jnp.float32)      # [C,4,P0]
+
+    carry = ((frac2[None, :] + fr[:, None]) >= np.float32(1.0)
+             ).astype(jnp.float32)                          # [C, P0]
+    ym1, y0, y1, y2 = y[:, 0], y[:, 1], y[:, 2], y[:, 3]
+    e_tap = y1 + carry * (y2 - y1)
+    p_tap = y0 + carry * (y1 - y0)
+    l_tap = ym1 + carry * (y0 - ym1)
+    repl = jnp.stack([e_tap, p_tap, l_tap], axis=-1)        # [C, P0, 3]
+    if n_periods > 1:
+        repl = jnp.tile(repl, (1, n_periods, 1))            # [C, S, 3]
+    return repl
+
+
+def _epl_replicas(code_table, base, phase, period: int | None = None,
+                  n_periods: int = 1):
     """E/P/L replica stack [C, S, 3]; strategy picked at trace time.
 
-    TPU (no XLA gather): the factored one-hot — measured 0.060 vs the
-    flat one-hot's 0.072 ms/step on the target chip (tools/
-    scalar_timing.py, chained protocol). Elsewhere: direct gather."""
+    TPU (no XLA gather): the constant-table period fold when the window
+    is whole code periods (period set) — zero per-sample compare volume
+    (r3's factored one-hot measured 0.060 ms/step was compute-bound on
+    exactly that volume); the factored one-hot otherwise. Elsewhere:
+    direct gather."""
     if jax.default_backend() == "tpu":
+        if period is not None:
+            return _epl_const_fold(code_table, phase, period, n_periods)
         return _epl_onehot_factored(code_table, base, phase)
     return _epl_gather(code_table, base, phase)
 
@@ -302,7 +397,12 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
 
     base = time_idc * np.float32(F_CA)                     # [S]
     rc_mid = state.rc + state.dfc * np.float32(m * 0.5e-3)
-    replicas = _epl_replicas(code_table, base, rc_mid)     # [C, S, 3] E/P/L
+    # samples per code period — the const-fold path needs the window to
+    # be exactly m code periods at the nominal rate (T_CA * fs integer)
+    period = (s // m if s % m == 0 and abs(s / m - fs * 1e-3) < 1e-6
+              else None)
+    replicas = _epl_replicas(code_table, base, rc_mid,
+                             period=period, n_periods=m)   # [C, S, 3] E/P/L
 
     # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
     # sample ~ (k*L_CA - rc) * fs / fc, for k = 1..m+1

@@ -227,6 +227,62 @@ def test_epl_onehot_factored_matches_gather():
         assert mismatch == 0.0, f"replica mismatch fraction {mismatch}"
 
 
+def test_epl_const_fold_matches_exact_gather():
+    """The constant-table period-fold lookup (TPU default) must equal the
+    EXACT-arithmetic half-chip gather: j = floor(2*base0 + 2*rc) evaluated
+    in f64, E/P/L = r2[j+1], r2[j], r2[j-1] (the _epl_onehot identities).
+    Unlike the f32-base paths there is no rounding jitter to excuse."""
+    rng = np.random.default_rng(17)
+    prns = [3, 9, 23, 30]
+    tab_np = ca_table(prns).astype(np.float32)
+    period = S
+    for phases in (np.array([0.0, 0.125, 1022.7, 511.0 + rng.random()],
+                            np.float32),
+                   rng.uniform(0.0, 1023.0, len(prns)).astype(np.float32),
+                   np.linspace(0.0, 1023.0, len(prns), endpoint=False
+                               ).astype(np.float32) + np.float32(10.997)):
+        got = np.asarray(tracking._epl_const_fold(
+            jnp.asarray(tab_np), jnp.asarray(phases), period, 1))
+        base2 = np.arange(period) * (2.0 * 1023.0 / period)    # f64 exact
+        for c in range(len(prns)):
+            j = np.floor(base2 + 2.0 * np.float64(phases[c])
+                         ).astype(np.int64) % 2046
+            r2 = np.repeat(tab_np[c], 2)
+            want = np.stack([r2[(j + 1) % 2046], r2[j],
+                             r2[(j - 1) % 2046]], axis=-1)
+            np.testing.assert_array_equal(got[c], want)
+
+    # exact periodicity: n_periods tiling == per-period result repeated
+    got1 = np.asarray(tracking._epl_const_fold(
+        jnp.asarray(tab_np), jnp.asarray(phases), period, 1))
+    got4 = np.asarray(tracking._epl_const_fold(
+        jnp.asarray(tab_np), jnp.asarray(phases), period, 4))
+    np.testing.assert_array_equal(got4, np.tile(got1, (1, 4, 1)))
+
+
+def test_tracking_converges_with_const_fold_path(monkeypatch):
+    """Closed-loop tracking through the constant-table replica path (the
+    TPU default) converges like the gather path: same pull-in, nav-bit
+    stream intact. Trajectories are compared loosely — the const path's
+    exact half-chip decisions differ from the f32-base gather at ~1
+    boundary sample per window, which perturbs discriminator noise, not
+    dynamics."""
+    monkeypatch.setattr(
+        tracking, "_epl_replicas",
+        lambda t, b, p, period=None, n_periods=1, **kw:
+        tracking._epl_const_fold(t, p, period, n_periods))
+    prn, rc0, ri0, fi0 = 5, 250.0, 0.4, 900.0
+    raw = jnp.asarray(_make_blocks(prn, 40, rc0, ri0, fi0))
+    tab = jnp.asarray(ca_table([prn]).astype(np.float32))
+    st0 = tracking.init_state(rc=[rc0 + 0.3], ri=[ri0],
+                              fc=[F_CA + FCAID * fi0], fi=[fi0 + 15.0])
+    st, log = tracking.track_chunk(st0, raw, tab, FS, FCAID)
+    # Doppler pulled back to truth, code phase tracked
+    assert abs(float(st.fi[0]) - fi0) < 4.0
+    iP = np.asarray(log.iP)[:, 0]
+    assert np.abs(iP[-10:]).min() > 0.5 * np.abs(iP[-10:]).max()
+
+
 def test_track_chunk_unroll_invariant():
     """lax.scan unroll (the TPU default is 8) must not change the tracking
     trajectory. The carry dependency sequences the per-window math
@@ -262,8 +318,9 @@ def test_correlate_step_onehot_path_matches_gather_path(monkeypatch):
     outs = {}
     for name, fn in (("gather", tracking._epl_gather),
                      ("onehot", tracking._epl_onehot)):
-        monkeypatch.setattr(tracking, "_epl_replicas",
-                            lambda t, b, p, _f=fn: _f(t, b, p))
+        monkeypatch.setattr(
+            tracking, "_epl_replicas",
+            lambda t, b, p, _f=fn, **kw: _f(t, b, p))
         e_s, p_s, l_s, ncp = tracking._correlate_step(
             st, rr, ri_, tab, time_idc, FS)
         outs[name] = (np.asarray(e_s), np.asarray(p_s), np.asarray(l_s),

@@ -155,9 +155,15 @@ def main():
               f"({rtf:.1f}x real time, {C} channels; warmup {warm_s:.0f} s)",
               flush=True)
 
-    impls = {"merged": trk._epl_onehot, "legacy3": _legacy3,
-             "merged_bf16": _merged_bf16,
-             "factored": trk._epl_onehot_factored}
+    def _wrap(fn):
+        return lambda t, b, p, **kw: fn(t, b, p)
+
+    impls = {"merged": _wrap(trk._epl_onehot), "legacy3": _wrap(_legacy3),
+             "merged_bf16": _wrap(_merged_bf16),
+             "factored": _wrap(trk._epl_onehot_factored),
+             # constant-table period fold (r4 TPU default)
+             "constfold": lambda t, b, p, period=None, n_periods=1, **kw:
+             trk._epl_const_fold(t, p, period, n_periods)}
     orig = trk._epl_replicas
     for name in variants:
         # "<impl>_uK" suffix: run the scan with lax.scan unroll=K
