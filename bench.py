@@ -183,6 +183,21 @@ def main():
         print(f"# scalar tracking: {scalar_rtf:.1f}x real time "
               f"({len(hand.prn_list)} channels)", file=sys.stderr)
 
+    # on-device oracle parity runback (SURVEY §4: golden-model
+    # cross-validation is the reference's test strategy; r3 verdict asked
+    # for it ON the actual bench backend each round, since the CI
+    # equivalence tests run CPU-only): factorized windowed correlator vs
+    # its direct form, and the pallas chunk scorer vs the XLA one-hot
+    # scorer, on one real capture block. Set NAVLAB_BENCH_SKIP_PARITY=1
+    # to skip (three small extra jit signatures).
+    parity = None
+    if not os.environ.get("NAVLAB_BENCH_SKIP_PARITY"):
+        try:
+            parity = _parity_block(samples, hand, arr, grid)
+        except Exception as e:   # parity must never kill the bench artifact
+            parity = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"# parity: {parity}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "dpe_real_time_factor",
         "value": round(rtf, 2),
@@ -199,7 +214,84 @@ def main():
                                  round(float(np.median(errs_grouped)), 2)),
         "scalar_track_rtf": (None if scalar_rtf is None
                              else round(scalar_rtf, 2)),
+        "parity": parity,
     }))
+
+
+def _parity_block(samples, hand, arr, grid):
+    """Max relative differences of the hot-path numerics vs their oracles
+    on the active backend, using one real capture block + real channel
+    geometry (a throwaway receiver provides the prep)."""
+    import copy
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from navlab_dpe_sdr_tpu.io.rawfile import SampleFile
+    from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+    from navlab_dpe_sdr_tpu.ops import dpe_real as dr
+
+    rx = DPEReceiver(SampleFile(samples=samples[:50000 * 2].copy(),
+                                fs=2.5e6),
+                     copy.deepcopy(hand), grid=grid,
+                     eph=copy.deepcopy(arr), config=DPEConfig())
+    fpk, ipk, _, _, _, _ = rx._prepare_block()
+    raw = samples[:50000]
+    raw_re = jnp.asarray(raw["i"].astype(np.float32))
+    raw_im = jnp.asarray(raw["q"].astype(np.float32))
+    kw = dict(carr_fftpts=rx.carr_fftpts, period=rx.period,
+              n_periods=rx.S // rx.period, code_win=rx.code_win,
+              carr_win=rx.carr_win)
+    args = (raw_re, raw_im, rx._chips_f32, rx._base0,
+            jnp.asarray(fpk[0]), jnp.asarray(ipk[0]),
+            jnp.asarray(fpk[1]), jnp.asarray(fpk[2]), rx._time_idc,
+            jnp.asarray(ipk[1]), jnp.asarray(ipk[2]))
+    fast = dr.windowed_correlate(*args, **kw)
+    direct = dr._windowed_correlate_direct(*args, **kw)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b) / (np.abs(b).max() + 1e-30)))
+
+    out = {
+        "backend": jax.default_backend(),
+        "corr_code_max_rel": rel(fast.code_mag, direct.code_mag),
+        "corr_carr_max_rel": rel(fast.carr_mag, direct.carr_mag),
+        "corr_flip_equal": bool(np.array_equal(np.asarray(fast.flip_used),
+                                               np.asarray(direct.flip_used))),
+        "corr_argmax_equal": bool(
+            np.array_equal(np.argmax(np.asarray(fast.code_mag), 1),
+                           np.argmax(np.asarray(direct.code_mag), 1))),
+    }
+
+    # pallas chunk scorer vs the XLA one-hot scorer (f32 taps both sides
+    # so the comparison isolates the kernel, not the bf16 rounding the
+    # XLA TPU default trades)
+    from navlab_dpe_sdr_tpu.ops import pallas_score as pk
+    win = jnp.asarray(np.asarray(fast.code_mag)[None])      # [1, C, W]
+    los = jnp.asarray(fpk[3:6].T[None])                     # [1, C, 3]
+    cen = jnp.asarray((fpk[7] - 0.0)[None])
+    coe = jnp.asarray(fpk[8][None])
+    r0 = jnp.asarray(fpk[6][None])
+    gsl = slice(0, 4096)
+    o3 = jnp.asarray(grid.d_enu[gsl].astype(np.float32))
+    o1 = jnp.asarray(grid.dt_m[gsl].astype(np.float32))
+    interpret = jax.default_backend() != "tpu"
+    try:
+        pal = pk.score_chunk_pallas(win, los, cen, coe, r0, o3, o1,
+                                    interpret=interpret)
+        old_taps = dr.SCORE_TAP_DTYPE
+        dr.SCORE_TAP_DTYPE = jnp.float32
+        try:
+            xla = dr._score_chunk(win, los, cen, coe, r0, o3, o1,
+                                  "quadratic", 1)
+        finally:
+            dr.SCORE_TAP_DTYPE = old_taps
+        out["pallas_score_max_rel"] = rel(pal, xla)
+    except Exception as e:
+        out["pallas_score_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 if __name__ == "__main__":

@@ -78,14 +78,20 @@ def make_scenario(n_sats: int = 8, tow0: float = 345600.0 + 120.0,
                   lat: float = 40.112, lon: float = -88.228,
                   alt: float = 200.0, cn0_dbhz: float = 47.0,
                   fs: float = 2.5e6, seed: int = 7,
-                  nav_data: bool = True):
+                  nav_data: bool = True, min_elev_deg: float = 15.0):
     """Returns (CaptureSimulator, Handoff, EphArray) — a ready-to-run DPE
-    scenario with exact initialization at capture sample 0."""
+    scenario with exact initialization at capture sample 0.
+
+    n_sats > 8: pick a later tow0 / lower min_elev_deg so enough
+    satellites clear the mask (the default epoch sees 11 above 15 deg;
+    tow0 += 3600 with a 10 deg mask sees 12 — the C>8 scaling scenario,
+    reference batch=numChan generic too, batchcorrscores.cu:1016-1028)."""
     rx_pos = frames.lla_to_ecef(lat, lon, alt)
     rx_state = np.concatenate([rx_pos, np.zeros(5)])
 
     all_ephs = nominal_constellation(toe=tow0 - 120.0 + 7200.0 * 0)
-    chosen = visible_satellites(all_ephs, rx_state, tow0, n=n_sats)
+    chosen = visible_satellites(all_ephs, rx_state, tow0, n=n_sats,
+                                min_elev_deg=min_elev_deg)
     assert len(chosen) == n_sats, f"only {len(chosen)} visible"
     # anchor subframes: pretend decode produced (TOW, cp) at a recent 6 s
     # boundary; cp counts are receiver-local

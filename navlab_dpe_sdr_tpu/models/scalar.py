@@ -141,7 +141,8 @@ class ScalarReceiver:
 
     # -- tracking ----------------------------------------------------------
 
-    def track(self, n_ms: int, chunk_ms: int = 2000, coh_ms: int = 1):
+    def track(self, n_ms: int, chunk_ms: int = 2000, coh_ms: int = 1,
+              batch_k: int = 1):
         """Track n_ms of data in device chunks, appending measurement logs.
 
         coh_ms > 1 enables coherent predetection integration: one loop
@@ -150,11 +151,20 @@ class ScalarReceiver:
         UPDATES, coh_ms ms apart (self.coh_ms records the cadence); the
         cp column stays exact (cumulative code periods), so nav solutions
         and handoffs are cadence-independent. Don't mix cadences within
-        one receiver's log."""
+        one receiver's log.
+
+        batch_k > 1 (1 ms cadence only): k-window predictor-corrector
+        batching — per-ms measurement updates with the correlation of k
+        consecutive windows fused into one device pass (NCO phases lag
+        the loops by <= k ms; ops.tracking.track_chunk_batched)."""
         assert self.state is not None, "acquire() (or load state) first"
         assert n_ms % coh_ms == 0, (n_ms, coh_ms)
-        chunk_ms -= chunk_ms % coh_ms    # device chunking is internal —
-        chunk_ms = max(chunk_ms, coh_ms)  # round rather than reject
+        if batch_k > 1 and coh_ms > 1:
+            raise ValueError("batch_k applies to the 1 ms cadence only")
+        step_ms = coh_ms if coh_ms > 1 else batch_k
+        assert n_ms % step_ms == 0, (n_ms, step_ms)
+        chunk_ms -= chunk_ms % step_ms   # device chunking is internal —
+        chunk_ms = max(chunk_ms, step_ms)  # round rather than reject
         self.coh_ms = coh_ms
         rf = self.rawfile
         rf.set_block(T_CA, T_CA, verbose=False)
@@ -173,9 +183,14 @@ class ScalarReceiver:
                 raw[u, o * s:(o + 1) * s, 1] = blk.imag
             # upload as all-real [n, S, 2] — no complex64 on device, so the
             # same path runs on backends without complex support (axon TPU)
-            self.state, log = trk_ops.track_chunk(
-                self.state, jnp.asarray(raw), self.code_table, rf.fs,
-                rf.fcaid, self.loops, coh_ms=coh_ms)
+            if batch_k > 1:
+                self.state, log = trk_ops.track_chunk_batched(
+                    self.state, jnp.asarray(raw), self.code_table, rf.fs,
+                    rf.fcaid, self.loops, batch_k=batch_k)
+            else:
+                self.state, log = trk_ops.track_chunk(
+                    self.state, jnp.asarray(raw), self.code_table, rf.fs,
+                    rf.fcaid, self.loops, coh_ms=coh_ms)
             self._absorb_log(log)
             self._m_samp.extend(start_samp + (np.arange(n) + 1) * sw)
             done += n * coh_ms

@@ -354,13 +354,16 @@ def _epl_replicas(code_table, base, phase, period: int | None = None,
                   n_periods: int = 1):
     """E/P/L replica stack [C, S, 3]; strategy picked at trace time.
 
-    TPU (no XLA gather): the constant-table period fold when the window
-    is whole code periods (period set) — zero per-sample compare volume
-    (r3's factored one-hot measured 0.060 ms/step was compute-bound on
-    exactly that volume); the factored one-hot otherwise. Elsewhere:
-    direct gather."""
+    TPU (no XLA gather): measured on the target chip (tools/
+    scalar_timing.py, chained): at m = 1 the factored one-hot wins
+    (0.0442 vs const-fold's 0.0549 ms/step — the constant-table MXU
+    traffic costs what the compare volume saved on this runtime), so it
+    stays the 1 ms default; for multi-period windows (coh_ms > 1) the
+    const fold computes ONE period and tiles — an n_periods-fold saving
+    on the replica stage that the per-sample one-hot cannot express.
+    Elsewhere: direct gather."""
     if jax.default_backend() == "tpu":
-        if period is not None:
+        if period is not None and n_periods > 1:
             return _epl_const_fold(code_table, phase, period, n_periods)
         return _epl_onehot_factored(code_table, base, phase)
     return _epl_gather(code_table, base, phase)
@@ -711,6 +714,145 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
     if unroll is None:
         unroll = 8 if jax.default_backend() == "tpu" else 1
     return jax.lax.scan(body, state, raw_chunk, unroll=int(unroll))
+
+
+def _correlate_windows_batched(state: TrackState, raw_k, code_table,
+                               time_idc, fs: float, k: int):
+    """E/P/L segment sums for k consecutive 1 ms windows in ONE batched
+    correlation pass, with window phases PREDICTED from the batch-start
+    rates (rc_w = rc + dfc*w*T, ri_w = ri + fi*w*T — the predictor of
+    track_chunk's batch_k mode). raw_k: [k, S, 2]. Returns
+    (e_s, p_s, l_s: [k, C, 3, 2], ncp [k, C], rc_w [k, C], ri_w [k, C]).
+
+    The k windows become k*C virtual channels through the replica lookup
+    and the segment contraction — identical arithmetic volume to k
+    sequential steps, 1/k the op count (per-op dispatch overhead was
+    ~30% of the measured 1 ms step on the target runtime)."""
+    c = code_table.shape[0]
+    s = time_idc.shape[0]
+    w_i = jnp.arange(k, dtype=jnp.float32)[:, None]         # [k, 1]
+    rc_w = jnp.mod(state.rc[None, :] + state.dfc[None, :] * T_MS * w_i,
+                   np.float32(L_CA))                        # [k, C]
+    ri_w = jnp.mod(state.ri[None, :] + state.fi[None, :] * T_MS * w_i, 1.0)
+
+    ang = 2.0 * jnp.pi * (state.fi[None, :, None] * time_idc[None, None, :]
+                          + ri_w[:, :, None])               # [k, C, S]
+    wc, ws = jnp.cos(ang), jnp.sin(ang)
+    raw_re = raw_k[:, None, :, 0]
+    raw_im = raw_k[:, None, :, 1]
+    bb_re = (raw_re * wc + raw_im * ws).reshape(k * c, s)
+    bb_im = (raw_im * wc - raw_re * ws).reshape(k * c, s)
+
+    base = time_idc * np.float32(F_CA)
+    rc_mid = (rc_w + state.dfc[None, :] * np.float32(0.5e-3)).reshape(-1)
+    tab_k = jnp.tile(code_table, (k, 1))                    # [kC, 1023]
+    period = s if abs(s - fs * 1e-3) < 1e-6 else None
+    replicas = _epl_replicas(tab_k, base, rc_mid, period=period,
+                             n_periods=1)                   # [kC, S, 3]
+
+    fc = np.float32(F_CA) + state.dfc                       # [C]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1).astype(jnp.float32)
+    seg = None
+    rc_flat = rc_w.reshape(-1)
+    fc_flat = jnp.tile(fc, (k,))
+    for j in range(1, 3):
+        bk = (np.float32(j * L_CA) - rc_flat) * (np.float32(fs) / fc_flat)
+        term = (cols >= bk[:, None]).astype(jnp.int32)
+        seg = term if seg is None else seg + term
+    n_seg = 3
+    segm = (seg[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_seg), 2)
+            ).astype(jnp.float32)                           # [kC, S, 3]
+    w = (replicas[:, :, :, None] * segm[:, :, None, :]
+         ).reshape(k * c, s, 3 * n_seg)
+    bb = jnp.stack([bb_re, bb_im], axis=1)                  # [kC, 2, S]
+    sums = jnp.einsum("cps,csx->cpx", bb, w,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    sums = sums.reshape(k, c, 2, 3, n_seg)
+    e_s = jnp.moveaxis(sums[:, :, :, 0, :], 2, 3)           # [k, C, 3, 2]
+    p_s = jnp.moveaxis(sums[:, :, :, 1, :], 2, 3)
+    l_s = jnp.moveaxis(sums[:, :, :, 2, :], 2, 3)
+    ncp = jnp.floor((np.float32(s / fs) * fc_flat + rc_flat)
+                    * np.float32(1.0 / L_CA)).astype(jnp.int32).reshape(k, c)
+    return e_s, p_s, l_s, ncp, rc_w, ri_w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "fcaid", "loops", "batch_k",
+                                    "unroll"))
+def track_chunk_batched(state: TrackState, raw_chunk: jax.Array,
+                        code_table: jax.Array, fs: float, fcaid: float,
+                        loops: LoopConfig = LoopConfig(), batch_k: int = 4,
+                        unroll: int | None = None):
+    """track_chunk with k-window batched correlation (predictor-corrector).
+
+    Each scan body correlates batch_k consecutive 1 ms windows in one
+    batched pass using phases predicted from the batch-start rates, then
+    runs the batch_k measurement updates (polarity, lock/SNR, DLL/PLL
+    filters) sequentially on the tiny correlator outputs. Discriminators
+    still fire every 1 ms; only the NCO phases the correlator used lag
+    the loop filter by up to batch_k windows — a transport delay of
+    batch_k*T_MS (phase-margin erosion ~w0*k*T: 17 deg at the 40 Hz
+    default PLL with k = 4; keep k <= 4 at default bandwidths). Rates
+    within the batch are frozen, so trajectories match the 1 ms loop to
+    the size of one batch's rate correction (~1e-3 chips), not
+    bit-exactly — the win is ~1/k of the per-op dispatch overhead that
+    bounds the sequential scan on remote-attached runtimes.
+
+    raw_chunk: [steps, S, 2] with steps % batch_k == 0. Returns
+    (final_state, TrackLog) with per-1-ms rows, same as track_chunk.
+    """
+    k = int(batch_k)
+    if jnp.iscomplexobj(raw_chunk):
+        raw_chunk = jnp.stack([jnp.real(raw_chunk), jnp.imag(raw_chunk)],
+                              axis=-1).astype(jnp.float32)
+    steps, s = raw_chunk.shape[0], raw_chunk.shape[1]
+    if steps % k:
+        raise ValueError(f"steps {steps} not divisible by batch_k {k}")
+    time_idc = (jnp.arange(s) / fs).astype(jnp.float32)
+    t_up = np.float32(T_MS)
+
+    def body(st: TrackState, raw_k):
+        e_s, p_s, l_s, ncp, rc_w, ri_w = _correlate_windows_batched(
+            st, raw_k, code_table, time_idc, fs, k)
+        dfc0, fi0 = st.dfc, st.fi           # frozen predictor rates
+        logs = []
+        for w in range(k):
+            stw = st._replace(rc=rc_w[w], ri=ri_w[w])
+            (e_r, p_r, l_r, signs, p_a_re_new,
+             p_a_im_new) = _polarity_combine(stw, e_s[w], p_s[w], l_s[w],
+                                             ncp[w], 1)
+            st1, lock, lockval, snr = _lock_snr_update(
+                stw._replace(p_a_re=p_a_re_new, p_a_im=p_a_im_new),
+                p_r, 1)
+            logs.append(TrackLog(
+                iE=e_r[:, 0], qE=e_r[:, 1], iP=p_r[:, 0], qP=p_r[:, 1],
+                iL=l_r[:, 0], qL=l_r[:, 1],
+                rc=rc_w[w], ri=ri_w[w],
+                fc=np.float32(F_CA) + st.dfc, fi=st.fi,
+                cp=st.cp, ncp=ncp[w], signs=signs, lock=lock,
+                lockval=lockval, snr=snr,
+                dpc=jnp.zeros_like(st.rc), dpi=jnp.zeros_like(st.rc)))
+            st2 = st1._replace(cp=st.cp + ncp[w])
+            st3, dpc, dpi = _loops_update(st2, e_r, p_r, l_r, fcaid,
+                                          loops, 1)
+            logs[-1] = logs[-1]._replace(dpc=dpc, dpi=dpi)
+            st = st3
+        # phase carry: frozen-rate propagation across the whole batch (the
+        # correlator's own prediction), rates from the final filter state
+        st = st._replace(
+            rc=jnp.mod(rc_w[k - 1] + dfc0 * t_up, np.float32(L_CA)),
+            ri=jnp.mod(ri_w[k - 1] + fi0 * t_up, 1.0))
+        return st, jax.tree.map(lambda *xs: jnp.stack(xs), *logs)
+
+    if unroll is None:
+        unroll = 2 if jax.default_backend() == "tpu" else 1
+    raw_b = raw_chunk.reshape(steps // k, k, s, 2)
+    st_fin, log_b = jax.lax.scan(body, state, raw_b, unroll=int(unroll))
+    log = jax.tree.map(
+        lambda x: x.reshape((steps,) + x.shape[2:]), log_b)
+    return st_fin, log
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "unroll"))

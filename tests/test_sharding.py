@@ -121,6 +121,52 @@ def test_receiver_mesh_per_block_and_integrated():
         np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
 
 
+def test_twelve_channel_scenario_chan_mesh():
+    """Channels beyond 8 (C=12): acquisition finds all 12 PRNs, and the
+    batched DPE path under a mesh with chan:4 matches the single-device
+    fixes — proving the chan axis and the eph/channel machinery off the
+    8-channel happy path (reference batch=numChan is generic too,
+    batchcorrscores.cu:1016-1028). r3 verdict item #8."""
+    import copy
+    from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16, SampleFile
+    from navlab_dpe_sdr_tpu.io.scenario import make_scenario
+    from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+    from navlab_dpe_sdr_tpu.models.grid import spread_grid
+    from navlab_dpe_sdr_tpu.ops.acquisition import acquire
+
+    sim, hand, arr = make_scenario(n_sats=12, nav_data=True,
+                                   tow0=345600.0 + 120.0 + 3600.0,
+                                   min_elev_deg=10.0)
+    assert len(hand.prn_list) == 12
+    n = 50000 * 8
+    iq = sim.generate(n)
+    samples = np.empty(n, DTYPE_IQ16)
+    samples["i"] = np.clip(np.round(iq.real), -32768, 32767)
+    samples["q"] = np.clip(np.round(iq.imag), -32768, 32767)
+
+    # acquisition sees all 12
+    from navlab_dpe_sdr_tpu.constants import F_CA, F_L1
+    found = acquire(iq[:25000], hand.prn_list, 2.5e6, F_CA / F_L1)
+    assert sum(1 for r in found if r.found) == 12, found
+
+    rx1 = DPEReceiver(SampleFile(samples=samples.copy(), fs=2.5e6),
+                      copy.deepcopy(hand), grid=spread_grid(),
+                      eph=copy.deepcopy(arr))
+    rx1.run_batched(8, lookahead=4)
+    m = pmesh.make_mesh(n_grid=2, n_chan=4)
+    rx2 = DPEReceiver(SampleFile(samples=samples.copy(), fs=2.5e6),
+                      copy.deepcopy(hand), grid=spread_grid(),
+                      eph=copy.deepcopy(arr),
+                      config=DPEConfig(mesh=m))
+    rx2.run_batched(8, lookahead=4)
+    assert len(rx1.fixes) == len(rx2.fixes) == 8
+    for f1, f2 in zip(rx1.fixes, rx2.fixes):
+        np.testing.assert_allclose(f1.x_ecef, f2.x_ecef, atol=1e-6)
+    errs = [float(np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3]))
+            for f in rx2.fixes]
+    assert np.median(errs) < 25.0, errs
+
+
 def test_receiver_mesh_weighted_mean_matches_single():
     """The device-side score-weighted-mean estimator (use_argmax=False;
     reference BCM_PosMeas, batchcorrmanifold.cu:348-784) under the mesh:

@@ -283,6 +283,36 @@ def test_tracking_converges_with_const_fold_path(monkeypatch):
     assert np.abs(iP[-10:]).min() > 0.5 * np.abs(iP[-10:]).max()
 
 
+def test_track_chunk_batched_matches_sequential():
+    """batch_k predictor-corrector tracking (k windows correlated per scan
+    body with frozen-rate phase prediction, per-ms measurement updates)
+    must follow the 1 ms loop's trajectory: within-batch rates are frozen,
+    so agreement is to the size of one batch's rate correction, and the
+    closed loop converges to the same steady state."""
+    prn, rc0, ri0, fi0 = 5, 250.0, 0.4, 900.0
+    raw = jnp.asarray(_make_blocks(prn, 40, rc0, ri0, fi0))
+    tab = jnp.asarray(ca_table([prn]).astype(np.float32))
+    st0 = tracking.init_state(rc=[rc0 + 0.2], ri=[ri0],
+                              fc=[F_CA + FCAID * fi0], fi=[fi0 + 10.0])
+    st1, log1 = tracking.track_chunk(st0, raw, tab, FS, FCAID)
+    stb, logb = tracking.track_chunk_batched(st0, raw, tab, FS, FCAID,
+                                             batch_k=4)
+    # same shapes/log contract as track_chunk
+    assert np.asarray(logb.iP).shape == np.asarray(log1.iP).shape
+    # converged to the same steady state: Doppler and code phase agree
+    assert abs(float(stb.fi[0]) - float(st1.fi[0])) < 2.0
+    assert abs(float(stb.rc[0]) - float(st1.rc[0])) < 0.05
+    assert int(stb.cp[0]) == int(st1.cp[0])
+    # prompt power comparable (locked in both)
+    p1 = np.abs(np.asarray(log1.iP)[-8:, 0]).mean()
+    pb = np.abs(np.asarray(logb.iP)[-8:, 0]).mean()
+    assert pb > 0.8 * p1
+    # nav-bit sign stream identical over the locked tail
+    s1 = np.asarray(log1.signs)[20:, 0]
+    sb = np.asarray(logb.signs)[20:, 0]
+    np.testing.assert_array_equal(s1, sb)
+
+
 def test_track_chunk_unroll_invariant():
     """lax.scan unroll (the TPU default is 8) must not change the tracking
     trajectory. The carry dependency sequences the per-window math

@@ -58,6 +58,34 @@ def _merged_bf16(code_table, base, phase):
                       preferred_element_type=jnp.float32)
 
 
+def _factored_bf16(code_table, base, phase):
+    """_epl_onehot_factored with bf16 one-hot/table operands (0/+-1 values
+    are exact in bf16; halves the materialized operand traffic), f32
+    accumulate — bit-identical result."""
+    from navlab_dpe_sdr_tpu.constants import L_CA
+    trk_ = trk
+    r = jnp.repeat(code_table, 2, axis=1)
+    tab3 = jnp.stack([jnp.roll(r, -1, axis=1), r,
+                      jnp.roll(r, 1, axis=1)], axis=-1)
+    tab_hi = tab3.reshape(-1, trk_._FACT_HI,
+                          trk_._FACT_LO * 3).astype(jnp.bfloat16)
+    x = base[None, :] + phase[:, None]
+    j = jnp.mod(jnp.floor(2.0 * x), np.float32(2 * int(L_CA)))
+    h = jnp.floor((j + 0.5) * np.float32(1.0 / trk_._FACT_LO))
+    l = j - np.float32(trk_._FACT_LO) * h
+    kh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, trk_._FACT_HI),
+                                  2).astype(jnp.float32)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, trk_._FACT_LO),
+                                  2).astype(jnp.float32)
+    oh_h = (h[:, :, None] == kh).astype(jnp.bfloat16)
+    oh_l = (l[:, :, None] == kl).astype(jnp.bfloat16)
+    u = jnp.einsum("csh,chx->csx", oh_h, tab_hi,
+                   preferred_element_type=jnp.float32)
+    u = u.reshape(u.shape[0], u.shape[1], trk_._FACT_LO, 3)
+    return jnp.einsum("csl,cslt->cst", oh_l.astype(jnp.float32), u,
+                      preferred_element_type=jnp.float32)
+
+
 def main():
     variants = sys.argv[1:] or ["merged", "legacy3"]
     rng = np.random.default_rng(3)
@@ -126,6 +154,30 @@ def main():
               f"({N_STEPS * 1e-3 / dt:.1f}x real time; warmup {warm_s:.0f} s)",
               flush=True)
 
+    for name in [v for v in variants if v.startswith("batchk")]:
+        # k-window predictor-corrector batching (track_chunk_batched):
+        # one big correlation op per k windows + k tiny sequential
+        # measurement updates. Usage: batchk4, batchk8, batchk4_u4...
+        variants = [v for v in variants if v != name]
+        spec, _, usuf = name.partition("_u")
+        kwin = int(spec[6:])
+        unroll = int(usuf) if usuf else None
+        t0 = time.time()
+        st, log = trk.track_chunk_batched(st0, chunks[0], tab, FS, FCAID,
+                                          batch_k=kwin, unroll=unroll)
+        float(jnp.sum(log.iP))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in chunks[1:]:
+            st, log = trk.track_chunk_batched(st, ch, tab, FS, FCAID,
+                                              batch_k=kwin, unroll=unroll)
+            float(jnp.sum(log.iP))
+        dt = (time.time() - t0) / K
+        rtf = N_STEPS * 1e-3 / dt
+        print(f"{name}: {dt * 1e3 / N_STEPS:.4f} ms/step "
+              f"({rtf:.1f}x real time, {C} channels; warmup {warm_s:.0f} s)",
+              flush=True)
+
     for name in [v for v in variants if v.startswith("coh")]:
         # coherent predetection integration (track_chunk coh_ms=m): same
         # signal seconds, N_STEPS/m windows of m ms — the fewer-fatter-
@@ -161,6 +213,7 @@ def main():
     impls = {"merged": _wrap(trk._epl_onehot), "legacy3": _wrap(_legacy3),
              "merged_bf16": _wrap(_merged_bf16),
              "factored": _wrap(trk._epl_onehot_factored),
+             "factored_bf16": _wrap(_factored_bf16),
              # constant-table period fold (r4 TPU default)
              "constfold": lambda t, b, p, period=None, n_periods=1, **kw:
              trk._epl_const_fold(t, p, period, n_periods)}
