@@ -50,7 +50,7 @@ def global_mesh(n_chan: int = 1):
 
 
 def scaling_bench(mesh, n_iters: int = 3, grid_scale: int = 1,
-                  n_blocks: int = 8):
+                  n_blocks: int = 8, n_chan_sig: int = 8):
     """Grid-points/s throughput of the sharded batched DPE path on this
     mesh — the BASELINE scaling-efficiency metric, measured on the product
     hot path (dpe_batch_blocks: correlation + shard_map streaming-argmax
@@ -73,7 +73,7 @@ def scaling_bench(mesh, n_iters: int = 3, grid_scale: int = 1,
     from ..models.grid import spread_grid
     from ..ops import dpe_real as dr
 
-    c, s = 8, 50000
+    c, s = n_chan_sig, 50000
     args, meta = ge._example_args(c=c, s=s)
     (raw_re, raw_im, chips, base0, rc_mid, idx_next, fi, ri, time_idc,
      pos_start, vel_start, params) = args[:12]

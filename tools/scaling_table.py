@@ -25,7 +25,7 @@ import sys
 
 
 def measure(n_devices: int, grid_scale: int, iters: int,
-            n_chan: int = 1) -> dict:
+            n_chan: int = 1, n_chan_sig: int = 8) -> dict:
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                f" --xla_force_host_platform_device_count={n_devices}").strip()
     import jax
@@ -36,8 +36,10 @@ def measure(n_devices: int, grid_scale: int, iters: int,
 
     mesh = (make_mesh(n_grid=n_devices // n_chan, n_chan=n_chan)
             if n_devices > 1 else None)
-    stats = scaling_bench(mesh, n_iters=iters, grid_scale=grid_scale)
+    stats = scaling_bench(mesh, n_iters=iters, grid_scale=grid_scale,
+                          n_chan_sig=n_chan_sig)
     stats["mesh"] = {"chan": n_chan, "grid": n_devices // n_chan}
+    stats["n_chan_sig"] = n_chan_sig
     stats["cores"] = len(os.sched_getaffinity(0))
     return stats
 
@@ -115,6 +117,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int)
     p.add_argument("--chan", type=int, default=1)
+    p.add_argument("--c", type=int, default=8, help="signal channels")
     p.add_argument("--grid-scale", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--all", action="store_true")
@@ -124,7 +127,7 @@ def main(argv=None):
         run_all((1, 4, 8), args.iters, args.out)
     else:
         print(json.dumps(measure(args.devices, args.grid_scale, args.iters,
-                                  n_chan=args.chan)))
+                                  n_chan=args.chan, n_chan_sig=args.c)))
 
 
 if __name__ == "__main__":
