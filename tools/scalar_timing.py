@@ -86,6 +86,49 @@ def _factored_bf16(code_table, base, phase):
                       preferred_element_type=jnp.float32)
 
 
+def _constfold2(code_table, base, phase, period=None, n_periods=1, **kw):
+    """_epl_const_fold with lane-conscious einsum layouts: the sample axis
+    k (2500) rides the MXU lane dimension instead of the 22-wide digit
+    (which utilizes 22/128 lanes)."""
+    from navlab_dpe_sdr_tpu.constants import L_CA
+    if period is None:
+        period = base.shape[0]
+    c = code_table.shape[0]
+    e_hi_np, e_lo_np, frac2_np = trk._half_chip_consts(period)
+    e_hi = jnp.asarray(e_hi_np)
+    e_lo = jnp.asarray(e_lo_np)
+    frac2 = jnp.asarray(frac2_np)
+    l2 = 2 * int(L_CA)
+    r2 = jnp.repeat(code_table, 2, axis=1)
+    r2d = jnp.concatenate([r2, r2, r2[:, :4]], axis=1)
+    ph = jnp.mod(phase, np.float32(L_CA))
+    s2 = jnp.floor(2.0 * ph).astype(jnp.int32)
+    fr = 2.0 * ph - jnp.floor(2.0 * ph)
+
+    def sl(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (l2 + 3,))
+
+    ext = jax.vmap(sl)(r2d, jnp.mod(s2 - 1, np.int32(l2)))
+    shifts = jnp.stack([ext[:, e + 1:e + 1 + l2]
+                        for e in (-1, 0, 1, 2)], axis=1)
+    rsh = shifts.reshape(c, 4, trk._FACT_HI, trk._FACT_LO)
+    # k last: [C, 4, 22, P0] — P0=2500 in lanes
+    a = jnp.einsum("kh,cehl->celk", e_hi, rsh,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("kl,celk->cek", e_lo, a,
+                   preferred_element_type=jnp.float32)
+    carry = ((frac2[None, :] + fr[:, None]) >= np.float32(1.0)
+             ).astype(jnp.float32)
+    ym1, y0, y1, y2 = y[:, 0], y[:, 1], y[:, 2], y[:, 3]
+    e_tap = y1 + carry * (y2 - y1)
+    p_tap = y0 + carry * (y1 - y0)
+    l_tap = ym1 + carry * (y0 - ym1)
+    repl = jnp.stack([e_tap, p_tap, l_tap], axis=-1)
+    if n_periods > 1:
+        repl = jnp.tile(repl, (1, n_periods, 1))
+    return repl
+
+
 def main():
     variants = sys.argv[1:] or ["merged", "legacy3"]
     rng = np.random.default_rng(3)
@@ -154,6 +197,29 @@ def main():
               f"({N_STEPS * 1e-3 / dt:.1f}x real time; warmup {warm_s:.0f} s)",
               flush=True)
 
+    for name in [v for v in variants if v.startswith("pallastep")]:
+        # fused pallas correlation kernel (ops.pallas_track): usage
+        # pallastep, pallastep_u4 ...
+        variants = [v for v in variants if v != name]
+        from navlab_dpe_sdr_tpu.ops import pallas_track as ptk
+        _, _, usuf = name.partition("_u")
+        unroll = int(usuf) if usuf else None
+        t0 = time.time()
+        st, log = ptk.track_chunk_pallas(st0, chunks[0], tab, FS, FCAID,
+                                         unroll=unroll)
+        float(jnp.sum(log.iP))
+        warm_s = time.time() - t0
+        t0 = time.time()
+        for ch in chunks[1:]:
+            st, log = ptk.track_chunk_pallas(st, ch, tab, FS, FCAID,
+                                             unroll=unroll)
+            float(jnp.sum(log.iP))
+        dt = (time.time() - t0) / K
+        rtf = N_STEPS * 1e-3 / dt
+        print(f"{name}: {dt * 1e3 / N_STEPS:.4f} ms/step "
+              f"({rtf:.1f}x real time, {C} channels; warmup {warm_s:.0f} s)",
+              flush=True)
+
     for name in [v for v in variants if v.startswith("batchk")]:
         # k-window predictor-corrector batching (track_chunk_batched):
         # one big correlation op per k windows + k tiny sequential
@@ -216,7 +282,8 @@ def main():
              "factored_bf16": _wrap(_factored_bf16),
              # constant-table period fold (r4 TPU default)
              "constfold": lambda t, b, p, period=None, n_periods=1, **kw:
-             trk._epl_const_fold(t, p, period, n_periods)}
+             trk._epl_const_fold(t, p, period, n_periods),
+             "constfold2": _constfold2}
     orig = trk._epl_replicas
     for name in variants:
         # "<impl>_uK" suffix: run the scan with lax.scan unroll=K
