@@ -46,10 +46,12 @@ def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
 
     scal_ref (SMEM): [C, 8] f32 rows: rc_mid, fr (frac half-chips),
       fi, ri, rc, dfc, s2 (as float), pad.
-    raw_ref: [2, P0] f32 (re, im). r2d_ref: [1, 2*L2+4] this channel's
-    doubled half-chip sequence. ehi_ref: [93, P0]; elo_ref: [22, P0];
-    frac2_ref: [1, P0]. out_ref: [1, 24] — 18 segment sums
-    (tap-major: [tap(EPL), seg, re/im]) + 6 pad.
+    raw_ref: [2, P0] f32 (re, im). r2d_ref: [C, 2*L2+4] doubled
+    half-chip sequences (full block; the kernel row-indexes by the grid
+    step — TPU lowering requires sublane-divisible or full blocks).
+    ehi_ref: [93, P0]; elo_ref: [22, P0]; frac2_ref: [1, P0]. out_ref:
+    [C, 24] — row c gets 18 segment sums (tap-major: [tap(EPL), seg,
+    re/im]) + 6 pad.
     """
     c = pl.program_id(0)
     rc_mid = scal_ref[c, 0]
@@ -61,7 +63,7 @@ def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
     s2 = scal_ref[c, 6].astype(jnp.int32)
 
     # 1. rolled half-chip sequence reads: ext[j] = r2d[s2 - 1 + j]
-    ext = r2d_ref[0, pl.dslice(s2, L2 + 3)]                 # [L2+3]
+    ext = r2d_ref[c, pl.dslice(s2, L2 + 3)]                 # [L2+3]
     # (r2d is laid out with a one-slot lead so index s2 == logical s2-1)
     shifts = jnp.stack([ext[e + 1:e + 1 + L2]
                         for e in (-1, 0, 1, 2)])            # [4, L2]
@@ -110,7 +112,7 @@ def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
         precision=jax.lax.Precision.HIGHEST)                # [9, 2]
     out = jnp.concatenate([sums.reshape(1, 18),
                            jnp.zeros((1, 6), jnp.float32)], axis=1)
-    out_ref[0, :] = out[0]
+    out_ref[pl.dslice(c, 1), :] = out
 
 
 @functools.partial(jax.jit, static_argnames=("period", "fs", "interpret"))
@@ -131,7 +133,7 @@ def correlate_window_pallas(raw2, r2d_all, scal, ehi_t, elo_t, frac2,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r2d_all.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((c, r2d_all.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((93, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -140,7 +142,7 @@ def correlate_window_pallas(raw2, r2d_all, scal, ehi_t, elo_t, frac2,
             pl.BlockSpec((1, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 24), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((c, 24), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, 24), jnp.float32),
         interpret=interpret,
