@@ -40,37 +40,30 @@ from .tracking import _half_chip_consts
 L2 = 2 * int(L_CA)          # 2046 half-chip bins
 
 
-def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
+def _kernel(scal_ref, raw_ref, shifts_ref, ehi_ref, elo_ref, frac2_ref,
             out_ref, *, period: int, fs: float):
     """One channel per grid step.
 
     scal_ref (SMEM): [C, 8] f32 rows: rc_mid, fr (frac half-chips),
       fi, ri, rc, dfc, s2 (as float), pad.
-    raw_ref: [2, P0] f32 (re, im). r2d_ref: [C, 2*L2+4] doubled
-    half-chip sequences (full block; the kernel row-indexes by the grid
-    step — TPU lowering requires sublane-divisible or full blocks).
-    ehi_ref: [93, P0]; elo_ref: [22, P0]; frac2_ref: [1, P0]. out_ref:
-    [C, 24] — row c gets 18 segment sums (tap-major: [tap(EPL), seg,
-    re/im]) + 6 pad.
+    raw_ref: [2, P0] f32 (re, im). shifts_ref: [C, 88, 93] rolled
+    half-chip sequences at offsets {-1, 0, 1, 2}, digit-regrouped to
+    rows e*22+l over the 93-wide hi digit (the per-channel roll + the
+    lane reshape run in XLA — Mosaic forbids unaligned lane-dim dynamic
+    slices and 2046->(93,22) lane shape casts; it is a ~65 KB op). ehi_ref: [93, P0]; elo_ref: [22, P0]; frac2_ref:
+    [1, P0]. out_ref: [C, 24] — row c gets 18 segment sums (tap-major:
+    [tap(EPL), seg, re/im]) + 6 pad.
     """
     c = pl.program_id(0)
-    rc_mid = scal_ref[c, 0]
     fr = scal_ref[c, 1]
     fi = scal_ref[c, 2]
     ri = scal_ref[c, 3]
     rc = scal_ref[c, 4]
     dfc = scal_ref[c, 5]
-    s2 = scal_ref[c, 6].astype(jnp.int32)
 
-    # 1. rolled half-chip sequence reads: ext[j] = r2d[s2 - 1 + j]
-    ext = r2d_ref[c, pl.dslice(s2, L2 + 3)]                 # [L2+3]
-    # (r2d is laid out with a one-slot lead so index s2 == logical s2-1)
-    shifts = jnp.stack([ext[e + 1:e + 1 + L2]
-                        for e in (-1, 0, 1, 2)])            # [4, L2]
+    rsh_flat = shifts_ref[c]                                # [88, 93]
 
     # 2. constant-table lookup, k in lanes: A = rsh_flat @ ehi
-    rsh = shifts.reshape(4, 93, 22).transpose(0, 2, 1)      # [4, 22, 93]
-    rsh_flat = rsh.reshape(88, 93)
     a = jax.lax.dot_general(
         rsh_flat, ehi_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [88, P0]
@@ -86,7 +79,8 @@ def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
     repl = jnp.stack([e_tap, p_tap, l_tap])                 # [3, P0]
 
     # 4. wipeoff + segments + sums
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, period), 1)[0]
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, period),
+                                 1)[0].astype(jnp.float32)
     t = k * np.float32(1.0 / fs)
     ang = np.float32(2.0 * np.pi) * (fi * t + ri)
     wc, ws = jnp.cos(ang), jnp.sin(ang)
@@ -106,13 +100,12 @@ def _kernel(scal_ref, raw_ref, r2d_ref, ehi_ref, elo_ref, frac2_ref,
 
     w18 = (repl[:, None, :] * segm[None, :, :]).reshape(9, period)
     bb2 = jnp.stack([bb_re, bb_im])                         # [2, P0]
-    sums = jax.lax.dot_general(
-        w18, bb2, (((1,), (1,)), ((), ())),
+    sums_t = jax.lax.dot_general(
+        bb2, w18, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                # [9, 2]
-    out = jnp.concatenate([sums.reshape(1, 18),
-                           jnp.zeros((1, 6), jnp.float32)], axis=1)
-    out_ref[pl.dslice(c, 1), :] = out
+        precision=jax.lax.Precision.HIGHEST)                # [2, 9]
+    out = jnp.pad(sums_t, ((0, 0), (0, 7)))                 # [2, 16]
+    out_ref[pl.dslice(c, 1), :, :] = out[None]
 
 
 @functools.partial(jax.jit, static_argnames=("period", "fs", "interpret"))
@@ -126,6 +119,18 @@ def correlate_window_pallas(raw2, r2d_all, scal, ehi_t, elo_t, frac2,
     [1, P0]. Returns sums [C, 3, 3, 2] (tap, seg, re/im).
     """
     c = scal.shape[0]
+    # per-channel roll in XLA (Mosaic can't lane-slice at dynamic starts):
+    # ext[c, j] = r2d[c, s2_c + j] covers logical offsets s2-1 .. s2+2047
+    s2 = scal[:, 6].astype(jnp.int32)
+
+    def sl(row, st):
+        return jax.lax.dynamic_slice(row, (st,), (L2 + 3,))
+
+    ext = jax.vmap(sl)(r2d_all, s2)                         # [C, L2+3]
+    shifts = jnp.stack([ext[:, e + 1:e + 1 + L2]
+                        for e in (-1, 0, 1, 2)], axis=1)    # [C, 4, L2]
+    shifts = shifts.reshape(c, 4, 93, 22).transpose(0, 1, 3, 2) \
+                   .reshape(c, 88, 93)                      # rows e*22+l
     out = pl.pallas_call(
         functools.partial(_kernel, period=period, fs=fs),
         grid=(c,),
@@ -133,7 +138,7 @@ def correlate_window_pallas(raw2, r2d_all, scal, ehi_t, elo_t, frac2,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, r2d_all.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((c, 88, 93), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((93, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -142,12 +147,13 @@ def correlate_window_pallas(raw2, r2d_all, scal, ehi_t, elo_t, frac2,
             pl.BlockSpec((1, period), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, 24), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((c, 2, 16), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, 24), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, 2, 16), jnp.float32),
         interpret=interpret,
-    )(scal, raw2, r2d_all, ehi_t, elo_t, frac2)
-    return out[:, :18].reshape(c, 3, 3, 2)
+    )(scal, raw2, shifts, ehi_t, elo_t, frac2)
+    # [C, 2, 9] -> [C, 3(tap), 3(seg), 2(re/im)]
+    return jnp.transpose(out[:, :, :9], (0, 2, 1)).reshape(c, 3, 3, 2)
 
 
 def prep_constants(code_table: np.ndarray, period: int):
