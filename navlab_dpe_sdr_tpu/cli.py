@@ -107,10 +107,13 @@ def cmd_track(args):
                                          bn_carr_freq=bn_f))
     rx.acquire()
     n_ms = int(args.seconds * 1000)
-    n_ms -= n_ms % args.coh_ms
+    step_ms = args.coh_ms if args.coh_ms > 1 else args.batch_k
+    n_ms -= n_ms % step_ms
     print(f"tracking {args.seconds}s ..." + (
-        f" (coherent {args.coh_ms} ms updates)" if args.coh_ms > 1 else ""))
-    rx.track(n_ms, coh_ms=args.coh_ms)
+        f" (coherent {args.coh_ms} ms updates)" if args.coh_ms > 1 else "")
+        + (f" (batch_k={args.batch_k} fused windows)"
+           if args.batch_k > 1 else ""))
+    rx.track(n_ms, coh_ms=args.coh_ms, batch_k=args.batch_k)
     good = rx.decode_ephemerides()
     if args.rinex:
         from .libgnss import rinex as rinex_mod
@@ -924,6 +927,10 @@ def main(argv=None):
     pt.add_argument("--bn-carr-freq", type=float, default=None,
                     help="FLL-assist bandwidth [Hz] (default 0, or "
                          "12/coh_ms in coherent mode)")
+    pt.add_argument("--batch-k", type=int, default=1,
+                    help="fuse k consecutive 1 ms windows into one device "
+                         "correlation pass (predictor-corrector; NCO lags "
+                         "the loops by <= k ms; 1 ms cadence only)")
     pt.add_argument("--coh-ms", type=int, default=1,
                     help="coherent predetection integration per loop "
                          "update [ms] (1..10): >1 trades loop update "
