@@ -99,6 +99,17 @@ def test_weighted_mean_device_matches_host(scene):
             for f in rx_i.fixes]
     assert np.median(errs) < 40.0, errs
 
+    # coherent-grouped batched mode + weighted estimator compose: one
+    # weighted-mean fix per K-block group
+    rx_g = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                       copy.deepcopy(hand), config=copy.deepcopy(cfg),
+                       eph=copy.deepcopy(arr))
+    rx_g.run_batched(8, lookahead=4, group_k=4)
+    assert len(rx_g.fixes) == 2
+    errs_g = [np.linalg.norm(f.x_ecef[:3] - hand.x_ecef[:3])
+              for f in rx_g.fixes]
+    assert np.median(errs_g) < 40.0, errs_g
+
 
 def test_full_ekf_mode(scene):
     samples, hand, arr = scene
