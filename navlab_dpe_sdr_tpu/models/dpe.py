@@ -1526,8 +1526,11 @@ class DPEReceiver:
         # dispatch time so the RPC round-trip overlaps the next batch's
         # host prep + device compute — the measured ~0.07 ms/block host
         # residue of the r3 grouped segment (NOTES floor decomposition)
+        import os
         from concurrent.futures import ThreadPoolExecutor
-        fetcher = ThreadPoolExecutor(1) if pipeline else None
+        fetcher = (ThreadPoolExecutor(1)
+                   if pipeline and not os.environ.get("NAVLAB_NO_BGFETCH")
+                   else None)
         try:
             from collections import deque
             done = 0
