@@ -196,6 +196,11 @@ class DPEReceiver:
                 "refine needs the score windows of engine='real'; the FFT "
                 "engine never returns them, so the polish would silently "
                 "not run")
+        if self.cfg.refine and not self.cfg.use_argmax:
+            raise ValueError(
+                "refine polishes the grid argmax; the score-weighted-mean "
+                "estimator (use_argmax=False) has no lattice point to "
+                "polish — pick one")
         if self.cfg.engine == "fft" and self.cfg.ekf_mode == "full":
             import warnings
             warnings.warn(
