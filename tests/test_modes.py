@@ -111,6 +111,26 @@ def test_weighted_mean_device_matches_host(scene):
     assert np.median(errs_g) < 40.0, errs_g
 
 
+def test_bench_parity_block(scene):
+    """bench.py's on-device oracle runback (factorized-vs-direct
+    correlator + pallas-vs-XLA scorer) on CPU: tight agreement and no
+    crashes — the TPU run reports the same block in BENCH JSON."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    samples, hand, arr = scene
+    from navlab_dpe_sdr_tpu.models.grid import spread_grid
+    out = bench._parity_block(samples[:50000 * 2], copy.deepcopy(hand),
+                              copy.deepcopy(arr), spread_grid())
+    assert out["corr_flip_equal"] and out["corr_argmax_equal"], out
+    assert out["corr_code_max_rel"] < 1e-4, out
+    assert out["corr_carr_max_rel"] < 1e-4, out
+    assert out.get("pallas_score_max_rel", 1.0) < 1e-4, out
+
+
 def test_full_ekf_mode(scene):
     samples, hand, arr = scene
     rf = SampleFile(samples=samples.copy(), fs=FS)
