@@ -6,12 +6,11 @@ import os
 import sys
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
-from navlab_dpe_sdr_tpu.constants import F_CA, F_L1
+from navlab_dpe_sdr_tpu.constants import F_CA
 from navlab_dpe_sdr_tpu.libgnss.cacode import ca_table
 from navlab_dpe_sdr_tpu.ops import pallas_track as ptk
 from navlab_dpe_sdr_tpu.ops import tracking as trk

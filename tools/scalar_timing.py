@@ -152,7 +152,6 @@ def main():
         # full correlation step, per-iteration overhead is the floor and
         # the lever is fewer, fatter iterations — not cheaper math.
         variants = [v for v in variants if v != "scanfloor"]
-        import functools
 
         @jax.jit
         def floor_scan(c0, chunk):
