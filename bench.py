@@ -47,9 +47,13 @@ def main():
     # ops/dpe_real.dpe_batch_blocks group_k)
     group_k = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     # dispatched batches kept in flight (run_batched pipeline_depth):
-    # depth 2 hides the per-batch upload+fetch RPC round-trip behind device
-    # compute on remote-attached accelerators
-    depth = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # with the background-fetch drain (r4), depth 4 keeps the device
+    # saturated through the upload/fetch RPC round-trips — measured
+    # 69.5x (depth 2) -> 108.2x (4) -> 110.6x (6) on the same warm
+    # device at identical accuracy, so 4 is the knee (staleness
+    # depth*lookahead*T = 4 s; dynamics-sensitive runs use per-block
+    # mode or smaller depth)
+    depth = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     # run_batched requires group_k | lookahead and group_k | segment-2
     # length; repair odd argv combinations up front (before sizing the

@@ -1487,10 +1487,13 @@ class DPEReceiver:
         execution of batch k (dispatch is asynchronous) at the cost of one
         extra batch of prediction staleness. pipeline_depth (>=1) keeps up
         to that many dispatched batches in flight before draining the
-        oldest: depth 2 hides a full upload+fetch RPC round-trip behind
-        device compute on remote-attached accelerators, at depth batches
-        of staleness (predictions coast depth*lookahead*T seconds between
-        measurement feedbacks).
+        oldest: with the background-fetch drain each in-flight batch
+        hides one upload+fetch RPC round-trip behind device compute on
+        remote-attached accelerators — measured saturation at depth ~4
+        (69.5x -> 108x -> 111x at depths 2/4/6 on the 45 s bench, r4) —
+        at depth batches of staleness (predictions coast
+        depth*lookahead*T seconds between measurement feedbacks; use
+        per-block mode or small depth under fast dynamics).
 
         raw_blocks_dev: optional device-resident int16 capture [B, S, 2]
         covering blocks start_block..; if None, blocks are read from the

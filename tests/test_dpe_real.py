@@ -176,6 +176,16 @@ def test_pipelined_batched_accuracy():
              for f in rx2.fixes]
     assert np.median(errs2[-6:]) < 20.0, [round(e, 1) for e in errs2]
 
+    # depth 4 (the r4 bench default: background-fetch drain keeps four
+    # dispatches in flight) must also converge at its deeper staleness
+    rx3 = DPEReceiver(SampleFile(samples=samples.copy(), fs=FS),
+                      copy.deepcopy(hand), grid=spread_grid(),
+                      eph=copy.deepcopy(arr))
+    rx3.run_batched(18, lookahead=3, pipeline=True, pipeline_depth=4)
+    errs3 = [float(np.linalg.norm(f.x_ecef[:3] - truth[:3]))
+             for f in rx3.fixes]
+    assert np.median(errs3[-6:]) < 25.0, [round(e, 1) for e in errs3]
+
 
 def test_integrated_dpe_beats_per_block():
     """Noncoherent K-block score integration must reduce fix error below the
