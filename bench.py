@@ -5,11 +5,27 @@ over an in-memory synthetic 2.5 MHz / 8-PRN capture with the reference's
 default 25^4 + 25^4 spread grid, and reports the real-time factor
 (processed-signal seconds per wall second).
 
+Variance protocol (r4 verdict item #2 — the device in this environment
+drifts 10-20 % across hours, so single-shot numbers are lottery tickets):
+after one warm pass per jit signature, the full two-segment run is
+repeated NAVLAB_BENCH_REPEATS (default 3) times with a fresh receiver
+over the identical blocks; the headline value is the MEDIAN per-pass rtf
+and the JSON carries min/max spread for it, the first-200 segment, and
+the per-chunk scalar-tracking rtf. Docs must quote these artifact
+numbers (with spread), never a best-observed session number.
+
+Also reports cold-start time-to-first-fix (r4 verdict item #7): acquire
+8 PRNs -> closed-loop track -> LNAV ephemeris decode -> handoff -> first
+DPE fix, wall-clock with warm jits (compile/program-load is a cached
+one-time deployment cost) plus the signal seconds consumed — the
+reference's actual usage sequence (1_Data_reduct_scalar.py:35-108 +
+3_Data_reduct_dp.py:76-195).
+
 Baseline: the reference CUDARecv targets 1.0x real time on a Jetson TX2
 (20 ms budget per block, BASELINE.md); vs_baseline is therefore the factor
 itself.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -107,10 +123,17 @@ def main():
     from navlab_dpe_sdr_tpu.models.dpe import DPEConfig
     rf = SampleFile(samples=samples, fs=2.5e6)
     grid = spread_grid()
-    # alpha smoother: ~3x lower fix scatter than the reference's passthrough
-    # at identical throughput
-    rx = DPEReceiver(rf, hand, grid=grid, eph=arr,
-                     config=DPEConfig(ekf_mode="alpha", ekf_alpha=0.3))
+
+    def fresh_rx():
+        import copy
+        # alpha smoother: ~3x lower fix scatter than the reference's
+        # passthrough at identical throughput
+        return DPEReceiver(SampleFile(samples=samples, fs=2.5e6),
+                           copy.deepcopy(hand), grid=grid,
+                           eph=copy.deepcopy(arr),
+                           config=DPEConfig(ekf_mode="alpha", ekf_alpha=0.3))
+
+    rx = fresh_rx()
 
     # device-resident capture: a production deployment feeds blocks over
     # PCIe/DMA; this remote-tunnel environment pays ~5-25 ms per host->device
@@ -126,48 +149,63 @@ def main():
                    start_block=0)
     rx.run_batched(lookahead, lookahead=lookahead, raw_blocks_dev=raw_dev,
                    start_block=lookahead, group_k=group_k)
-    n_warm_fixes = len(rx.fixes)
 
-    # segment 1: the 200-block short benchmark (round-1 comparison point;
-    # per-block fixes at 50 Hz)
-    t0 = time.perf_counter()
-    rx.run_batched(n_short, lookahead=lookahead, raw_blocks_dev=raw_dev,
-                   start_block=warmup, pipeline=True, pipeline_depth=depth)
-    wall_short = time.perf_counter() - t0
-    n_short_fixes = len(rx.fixes) - n_warm_fixes
-    # segment 2: the remainder of the full-length pass, coherent-grouped
-    # (one fix per group_k blocks)
-    t1 = time.perf_counter()
-    if n_blocks > n_short:
-        rx.run_batched(n_blocks - n_short, lookahead=lookahead,
-                       raw_blocks_dev=raw_dev, start_block=warmup + n_short,
-                       pipeline=True, group_k=group_k, pipeline_depth=depth)
-    wall = wall_short + (time.perf_counter() - t1)
+    def timed_pass():
+        """One full two-segment pass with a fresh receiver; returns
+        (rtf_full, rtf_short, errs, n_short_fixes)."""
+        r = fresh_rx()
+        t0 = time.perf_counter()
+        r.run_batched(n_short, lookahead=lookahead, raw_blocks_dev=raw_dev,
+                      start_block=warmup, pipeline=True, pipeline_depth=depth)
+        w_short = time.perf_counter() - t0
+        n_sf = len(r.fixes)
+        t1 = time.perf_counter()
+        if n_blocks > n_short:
+            r.run_batched(n_blocks - n_short, lookahead=lookahead,
+                          raw_blocks_dev=raw_dev,
+                          start_block=warmup + n_short,
+                          pipeline=True, group_k=group_k,
+                          pipeline_depth=depth)
+        w = w_short + (time.perf_counter() - t1)
+        e = [float(np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]))
+             for f in r.fixes]
+        return n_blocks * 0.02 / w, n_short * 0.02 / w_short, e, n_sf
 
-    errs = [float(np.linalg.norm(f.x_ecef[0:3] - hand.x_ecef[0:3]))
-            for f in rx.fixes[n_warm_fixes:]]
+    repeats = max(1, int(os.environ.get("NAVLAB_BENCH_REPEATS", "3")))
+    passes = [timed_pass() for _ in range(repeats)]
+    rtfs = sorted(p[0] for p in passes)
+    rtfs_short = sorted(p[1] for p in passes)
+    rtf = float(np.median(rtfs))
+    rtf_short = float(np.median(rtfs_short))
+    _, _, errs, n_short_fixes = passes[0]    # fixes identical across passes
     errs_grouped = errs[n_short_fixes:]
     signal_s = n_blocks * 0.02
-    rtf = signal_s / wall
-    rtf_short = n_short * 0.02 / wall_short
+    wall = signal_s / rtf
     n_scored = n_short + (n_blocks - n_short) / group_k
     gridpts_s = n_scored * (grid.n_pos + grid.n_vel) * len(hand.prn_list) / wall
 
-    print(f"# {n_blocks} blocks ({signal_s:.0f}s signal) in {wall:.3f}s; "
+    print(f"# {n_blocks} blocks ({signal_s:.0f}s signal): "
+          f"rtf median {rtf:.2f}x of {repeats} passes "
+          f"[{rtfs[0]:.2f}, {rtfs[-1]:.2f}]; "
           f"median fix error {np.median(errs):.1f} m "
           f"(p95 {np.percentile(errs, 95):.1f}); "
           f"grouped-K{group_k} segment median "
           f"{np.median(errs_grouped) if errs_grouped else float('nan'):.1f} m; "
-          f"first-{n_short}-block rtf {rtf_short:.2f}x (per-block fixes); "
+          f"first-{n_short}-block rtf {rtf_short:.2f}x "
+          f"[{rtfs_short[0]:.2f}, {rtfs_short[-1]:.2f}] (per-block fixes); "
           f"grid-point-channel evals/s {gridpts_s:.3e}", file=sys.stderr)
 
     # scalar-tracking real-time factor on the same capture (8 channels,
     # 1 ms closed-loop DLL/PLL scan on the device). Honest axon timing:
-    # varying input chunks + a value fetch per chunk.
+    # varying input chunks + a value fetch per chunk; per-chunk rtf list
+    # -> median + spread. The first track_chunk call resolves the replica
+    # strategy via the one-shot runtime calibration (ops.tracking,
+    # cached in /tmp) — outside the timed region.
     scalar_rtf = None
+    scalar_rtfs = []
     ms_blocks = samples.view(np.int16).reshape(-1, 2500, 2)
     chunk = 2000
-    n_chunks = min(ms_blocks.shape[0] // chunk, 4)
+    n_chunks = min(ms_blocks.shape[0] // chunk, 5)
     if n_chunks >= 2:
         from navlab_dpe_sdr_tpu.libgnss.cacode import ca_table
         from navlab_dpe_sdr_tpu.ops import tracking as trk
@@ -178,14 +216,30 @@ def main():
                   for i in range(n_chunks)]
         st, log = trk.track_chunk(st, chunks[0], tab, rf.fs, rf.fcaid)
         float(jnp.sum(log.iP))                      # compile + warm
-        t0 = time.perf_counter()
         for ch in chunks[1:]:
+            t0 = time.perf_counter()
             st, log = trk.track_chunk(st, ch, tab, rf.fs, rf.fcaid)
             float(jnp.sum(log.iP))
-        scalar_rtf = ((n_chunks - 1) * chunk * 1e-3
-                      / (time.perf_counter() - t0))
-        print(f"# scalar tracking: {scalar_rtf:.1f}x real time "
-              f"({len(hand.prn_list)} channels)", file=sys.stderr)
+            scalar_rtfs.append(chunk * 1e-3 / (time.perf_counter() - t0))
+        scalar_rtfs.sort()
+        scalar_rtf = float(np.median(scalar_rtfs))
+        print(f"# scalar tracking: median {scalar_rtf:.1f}x of "
+              f"{len(scalar_rtfs)} chunks [{scalar_rtfs[0]:.1f}, "
+              f"{scalar_rtfs[-1]:.1f}] ({len(hand.prn_list)} channels)",
+              file=sys.stderr)
+
+    # cold-start time-to-first-fix (see module docstring). Skippable for
+    # quick runs: NAVLAB_BENCH_SKIP_TTFF=1.
+    ttff = None
+    if samples.shape[0] < int(36.0 * 2.5e6):
+        ttff = {"skipped": "capture shorter than the ~31 s LNAV "
+                           "subframe-1-3 wait; run the full-length bench"}
+    elif not os.environ.get("NAVLAB_BENCH_SKIP_TTFF"):
+        try:
+            ttff = _ttff(samples, hand, grid)
+        except Exception as e:      # ttff must never kill the artifact
+            ttff = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"# ttff: {ttff}", file=sys.stderr)
 
     # on-device oracle parity runback (SURVEY §4: golden-model
     # cross-validation is the reference's test strategy; r3 verdict asked
@@ -207,10 +261,15 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime_2.5MHz_8prn_25^4grid",
         "vs_baseline": round(rtf / 1.0, 2),
+        "protocol": {"passes": repeats, "stat": "median",
+                     "warmup": "one warm batch per jit signature"},
+        "value_minmax": [round(rtfs[0], 2), round(rtfs[-1], 2)],
         "signal_seconds": signal_s,
         "fix_median_m": round(float(np.median(errs)), 2),
         "fix_p95_m": round(float(np.percentile(errs, 95)), 2),
         "rtf_first_200": round(rtf_short, 2),
+        "rtf_first_200_minmax": [round(rtfs_short[0], 2),
+                                 round(rtfs_short[-1], 2)],
         "coherent_group_k": group_k,
         "pipeline_depth": depth,
         "grouped_fix_rate_hz": round(1.0 / (group_k * 0.02), 1),
@@ -218,8 +277,66 @@ def main():
                                  round(float(np.median(errs_grouped)), 2)),
         "scalar_track_rtf": (None if scalar_rtf is None
                              else round(scalar_rtf, 2)),
+        "scalar_track_rtf_minmax": (None if not scalar_rtfs else
+                                    [round(scalar_rtfs[0], 2),
+                                     round(scalar_rtfs[-1], 2)]),
+        "ttff": ttff,
         "parity": parity,
     }))
+
+
+def _ttff(samples, hand, grid):
+    """Cold-start time-to-first-fix on the cached capture (r4 verdict #7).
+
+    The reference's product sequence: acquisition (best-of-two 10 ms
+    blocks, 8 PRN), closed-loop scalar tracking, LNAV ephemeris decode
+    (needs subframes 1-3 => >= ~30 s of signal), handoff, first DPE fix
+    (1_Data_reduct_scalar.py:35-108, 3_Data_reduct_dp.py:76-195). Run
+    twice: pass 1 warms every jit signature (compile + axon program load
+    are cached one-time deployment costs, excluded from the product
+    number), pass 2 is the timed cold-START (cold receiver STATE) run.
+    Returns wall seconds, signal seconds consumed, and the first-fix
+    error — in offline replay wall << signal shows the receiver clears
+    the pipeline far faster than the eph wait that dominates real TTFF.
+    """
+    import copy
+    import time
+
+    from navlab_dpe_sdr_tpu.io.rawfile import SampleFile
+    from navlab_dpe_sdr_tpu.models.dpe import DPEConfig, DPEReceiver
+    from navlab_dpe_sdr_tpu.models.scalar import ScalarReceiver
+
+    prns = list(hand.prn_list)
+
+    def pipeline():
+        rf = SampleFile(samples=samples, fs=2.5e6)
+        rx = ScalarReceiver(rf, prns)
+        rx.acquire(verbose=False)
+        # track to the first point ephemerides CAN be complete, then in
+        # 2 s steps until >= 4 PRNs decode (first-fix minimum)
+        rx.track(30_000)
+        signal_ms = 30_000
+        good = rx.decode_ephemerides(verbose=False)
+        while len(good) < 4 and signal_ms < 44_000:
+            rx.track(2_000)
+            signal_ms += 2_000
+            good = rx.decode_ephemerides(verbose=False)
+        if len(good) < 4:
+            raise RuntimeError(f"only {len(good)} ephemerides decoded")
+        h = rx.save_handoff("")
+        drx = DPEReceiver(SampleFile(samples=samples, fs=2.5e6), h,
+                          grid=grid, eph=rx.eph_array(), config=DPEConfig())
+        fix = drx.run(1)[0]
+        signal_s = h.bytes_read / 4 / 2.5e6 + 0.02
+        return signal_s, float(np.linalg.norm(
+            np.asarray(fix.x_ecef[0:3]) - hand.x_ecef[0:3])), len(good)
+
+    pipeline()                                   # warm all signatures
+    t0 = time.perf_counter()
+    signal_s, fix_m, n_eph = pipeline()
+    wall = time.perf_counter() - t0
+    return {"ttff_s": round(wall, 2), "signal_s": round(signal_s, 2),
+            "first_fix_m": round(fix_m, 2), "eph_decoded": n_eph}
 
 
 def _parity_block(samples, hand, arr, grid):

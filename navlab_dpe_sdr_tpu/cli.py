@@ -64,11 +64,15 @@ def cmd_acquire(args):
     block = rf.read_block()
     prns = ([int(p) for p in args.prns.split(",")] if args.prns
             else list(range(1, 33)))
+    engine = args.engine
+    if engine == "auto":
+        import jax
+        engine = "real" if jax.default_backend() == "tpu" else "fft"
     if args.deep_ms:
         from .ops.acquisition_real import acquire_real
         results = acquire_real(block, prns, rf.fs, rf.fcaid,
                                n_coh_ms=args.coh_ms)
-    elif args.engine == "real":
+    elif engine == "real":
         from .ops.acquisition_real import acquire_real
         results = acquire_real(block, prns, rf.fs, rf.fcaid,
                                coherent=not args.noncoherent)
@@ -426,8 +430,34 @@ def cmd_fleet(args):
 
     files = args.files
     prns = [int(p) for p in args.prns.split(",")]
-    fleet = ReceiverFleet([SampleFile(f, fs=args.fs) for f in files], prns,
-                          labels=[f"rx{i}" for i in range(len(files))])
+    if args.live:
+        # N synchronized simulated radios (one per file, or one file with
+        # per-radio clock offsets) on a shared MultiSource clock — the
+        # reference's multi-USRP sync capture (guhd.cpp:27-60) driven
+        # end-to-end live
+        from .io.frontend import MultiSource, RadioSyncConfig, SimulatedRadio
+        if args.offsets_ms is not None:
+            if len(files) != 1:
+                raise SystemExit("--offsets-ms wants exactly one file")
+            offs = [float(o) for o in args.offsets_ms.split(",")]
+            srcs = [SimulatedRadio(files[0], fs=args.fs, block_samples=2500,
+                                   start_byte=int(round(o * 1e-3 * args.fs))
+                                   * 4)
+                    for o in offs]
+        else:
+            srcs = [SimulatedRadio(f, fs=args.fs, block_samples=2500)
+                    for f in files]
+        shortest_s = min(s._iq.shape[0] for s in srcs) / args.fs
+        multi = MultiSource(srcs, RadioSyncConfig())
+        fleet = ReceiverFleet.from_live(
+            multi, prns, fs=args.fs, max_seconds=shortest_s + 1.0,
+            labels=[f"rx{i}" for i in range(len(srcs))])
+        print(f"live fleet: {len(srcs)} simulated radios on one clock "
+              f"({shortest_s:.1f}s of signal each)")
+    else:
+        fleet = ReceiverFleet([SampleFile(f, fs=args.fs) for f in files],
+                              prns,
+                              labels=[f"rx{i}" for i in range(len(files))])
     fleet.acquire(verbose=True)
     print(f"tracking {args.seconds}s on {len(files)} receivers ...")
     fleet.track(int(args.seconds * 1000))
@@ -448,6 +478,7 @@ def cmd_fleet(args):
     for label, (rx_time_a, _, x_ecef, _, _) in zip(fleet.labels,
                                                    fleet.nav_solutions()):
         print(f"{label}: t={rx_time_a:.6f} fix={x_ecef[:3]}")
+    dpes = None
     if args.dpe_blocks:
         import os
         os.makedirs(args.out_dir, exist_ok=True)
@@ -455,6 +486,22 @@ def cmd_fleet(args):
         dpes = fleet.run_dpe(args.dpe_blocks, checkpoint_dir=args.out_dir)
         for label, drx in zip(fleet.labels, dpes):
             print(f"{label}: final {drx.fixes[-1].x_ecef[:3]}")
+    if args.live:
+        stats = {"sources": fleet.live_stats(),
+                 "behind_max_s": round(fleet.multi.behind_max_s, 4),
+                 "offsets_ms": [int(o) for o in offsets]}
+        if dpes is not None and len(dpes) >= 2:
+            # per-receiver median fixes must agree within grid noise —
+            # the multi-radio alignment contract (0_Data_reduction.py)
+            med = [np.median(np.stack([f.x_ecef[:3] for f in d.fixes]), 0)
+                   for d in dpes]
+            stats["fix_spread_m"] = round(float(max(
+                np.linalg.norm(m - med[0]) for m in med[1:])), 2)
+        print(f"live stats: {stats}")
+        if args.stats_out:
+            with open(args.stats_out, "w") as f:
+                json.dump(stats, f, indent=1)
+        fleet.multi.close()
 
 
 def cmd_mc(args):
@@ -903,8 +950,11 @@ def main(argv=None):
                          "noncoherently (real engine)")
     pa.add_argument("--coh-ms", type=int, default=10,
                     help="coherent fold length for --deep-ms [ms]")
-    pa.add_argument("--engine", choices=["fft", "real"], default="fft",
-                    help="real = all-real TPU-safe search")
+    pa.add_argument("--engine", choices=["auto", "fft", "real"],
+                    default="auto",
+                    help="real = all-real TPU-safe search; auto picks "
+                         "real on backends without complex64/gather "
+                         "(matches ScalarReceiver.acquire)")
     pa.set_defaults(fn=cmd_acquire)
 
     pt = sub.add_parser("track", help="scalar pipeline -> handoff")
@@ -1069,6 +1119,16 @@ def main(argv=None):
     pf.add_argument("--rinex", help="ephemeris fallback for undecoded PRNs")
     pf.add_argument("--dpe-blocks", type=int, default=0)
     pf.add_argument("--out-dir", default="fleet_out")
+    pf.add_argument("--live", action="store_true",
+                    help="drive the files as wall-clock-paced simulated "
+                         "radios on one shared clock (MultiSource) "
+                         "instead of offline captures")
+    pf.add_argument("--offsets-ms", default=None,
+                    help="per-radio receiver-clock offsets [ms] for "
+                         "--live with ONE file (same scene, N radios), "
+                         "e.g. 0,7")
+    pf.add_argument("--stats-out", default=None,
+                    help="write live delivery/agreement stats JSON here")
     pf.set_defaults(fn=cmd_fleet)
 
     pm = sub.add_parser("mc", help="Monte-Carlo perturbation / grid sweeps")

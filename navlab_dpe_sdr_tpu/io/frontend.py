@@ -31,6 +31,8 @@ import time
 
 import numpy as np
 
+from .rawfile import DTYPE_IQ16, SampleFile
+
 F_L1_HZ = 1575.42e6      # GPS L1 center (guhd.cpp L1 tuning)
 DEFAULT_GAIN_DB = 50.0   # guhd.cpp gain default
 
@@ -297,3 +299,184 @@ def record(source: SampleSource, recorder: RotatingRecorder,
         if on_block is not None:
             on_block(done, blk)
     return done
+
+
+# ---------------------------------------------------------------------------
+# Multi-radio synchronized capture (guhd.cpp:27-60, 218-235 + the fleet
+# alignment flow 0_Data_reduction.py:32-90, 124-133)
+# ---------------------------------------------------------------------------
+
+class RadioSyncConfig:
+    """Shared-clock configuration surface for N synchronized radios.
+
+    Mirrors guhd's multi-USRP parameters (guhd.cpp:27-60, set_clock
+    218-235): ``clock_source`` ('internal' | 'external' | 'gpsdo' |
+    'mimo'), ``pps_sync`` (discipline device time to the next external
+    PPS edge, set_time_unknown_pps(0) + 1 s wait), ``mimo_slave``
+    (board index slaved over the MIMO cable: its clock AND time sources
+    become 'mimo'), and ``setup_time_s`` (all streams start at a shared
+    device-time point this far in the future — guhd's SETUP_TIME
+    stream_cmd). ``l2_channels`` lists channel indices tuned to L2
+    (1227.60 MHz) instead of L1, guhd's ``ltwo`` option.
+    """
+
+    def __init__(self, clock_source: str = "internal",
+                 pps_sync: bool = False, mimo_slave: int | None = None,
+                 setup_time_s: float = 1.5,
+                 l2_channels: tuple[int, ...] = ()):
+        self.clock_source = clock_source
+        self.pps_sync = pps_sync
+        self.mimo_slave = mimo_slave
+        self.setup_time_s = float(setup_time_s)
+        self.l2_channels = tuple(l2_channels)
+
+
+class MultiSource:
+    """N radios on one clock: lifecycle + sync config for a source group.
+
+    For hardware members (SoapyRadio) ``start()`` applies the
+    RadioSyncConfig per device (clock source, PPS discipline, slaved
+    MIMO boards) and arms every stream at the same future hardware time;
+    for simulated members it anchors all pacing clocks to ONE shared
+    host-clock epoch ``setup_time_s`` ahead — the same contract, so the
+    fleet composition is testable without RF hardware. Iterate
+    ``sources`` (each keeps its own per-channel delivery state) or call
+    ``next_blocks()`` for lockstep one-block-per-radio delivery
+    (guhd's single multi-channel recv, guhd.cpp:142-147).
+    """
+
+    def __init__(self, sources, sync: RadioSyncConfig | None = None):
+        self.sources = list(sources)
+        self.sync = sync or RadioSyncConfig()
+        self._started = False
+
+    def start(self):
+        if self._started:
+            return self
+        epoch = time.perf_counter() + self.sync.setup_time_s
+        for i, src in enumerate(self.sources):
+            if isinstance(src, SimulatedRadio):
+                src._t0 = epoch
+            elif hasattr(src, "apply_sync"):      # pragma: no cover
+                src.apply_sync(self.sync, index=i, epoch=epoch)
+        self._started = True
+        return self
+
+    def next_blocks(self):
+        """One lockstep block per radio; None once ANY stream ends (the
+        synchronized group is only useful while all channels deliver)."""
+        if not self._started:
+            self.start()
+        blks = [src.next_block() for src in self.sources]
+        if any(b is None for b in blks):
+            return None
+        return blks
+
+    @property
+    def behind_max_s(self) -> float:
+        return max((getattr(s, "behind_max_s", 0.0) for s in self.sources),
+                   default=0.0)
+
+    def close(self):
+        for s in self.sources:
+            s.close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class LiveSampleFile(SampleFile):
+    """Random-access ``SampleFile`` facade over a forward-only live source.
+
+    The scalar and DPE receivers consume the rawfile protocol
+    (read_block / seek / sample_pos); a radio only streams forward. A
+    pump thread appends arriving blocks to a preallocated capture
+    buffer and readers BLOCK until their window has been delivered —
+    the real-time contract: a consumer faster than the antenna waits
+    (delivery, not work), one slower falls behind, which is recorded
+    (``lag_max_s``, ``lag_misses``) rather than hidden. This collapses
+    the reference's record-then-process flow (guhd FileBuff,
+    buffer.cpp:47-78, then 0_Data_reduction.py per-file threads) into
+    one live path while keeping its semantics.
+    """
+
+    def __init__(self, source: SampleSource, fs: float,
+                 max_seconds: float, ds: float = 1.0,
+                 timeout_s: float = 10.0, miss_budget_s: float = 0.2):
+        import threading
+
+        cap = int(round(max_seconds * fs))
+        super().__init__(samples=np.zeros(cap, DTYPE_IQ16), fs=fs, ds=ds)
+        self._src = source
+        self._delivered = 0
+        self._done = False
+        self._cv = threading.Condition()
+        self.timeout_s = float(timeout_s)
+        self.miss_budget_s = float(miss_budget_s)
+        self.lag_max_s = 0.0
+        self.lag_misses = 0
+        self._pump = threading.Thread(target=self._run, daemon=True)
+        self._pump.start()
+
+    def _run(self):
+        cap = self._raw.shape[0]
+        while True:
+            try:
+                blk = self._src.next_block()
+            except Exception:
+                blk = None
+            with self._cv:
+                if blk is None or self._delivered + blk.shape[0] > cap:
+                    self._done = True
+                    self._cv.notify_all()
+                    return
+                n = blk.shape[0]
+                self._raw["i"][self._delivered:self._delivered + n] = blk[:, 0]
+                self._raw["q"][self._delivered:self._delivered + n] = blk[:, 1]
+                self._delivered += n
+                self._cv.notify_all()
+
+    @property
+    def n_samples(self) -> int:
+        # readers see only delivered samples; SampleFile's EOF checks then
+        # apply to the LIVE edge, not the buffer capacity
+        return self._delivered
+
+    def _wait_for(self, n: int):
+        deadline = time.perf_counter() + self.timeout_s
+        with self._cv:
+            while self._delivered < n and not self._done:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    raise TimeoutError(
+                        f"live source stalled: need {n} samples, "
+                        f"delivered {self._delivered}")
+                self._cv.wait(timeout=min(left, 0.1))
+            if self._delivered < n:
+                raise EOFError(f"stream ended: need {n} samples, "
+                               f"delivered {self._delivered}")
+
+    def _note_lag(self):
+        lag = (self._delivered - self._pos) / self.fs
+        if lag > self.lag_max_s:
+            self.lag_max_s = lag
+        if lag > self.miss_budget_s:
+            self.lag_misses += 1
+
+    def read_block(self):
+        self._wait_for(self._pos + self.S)
+        out = super().read_block()
+        self._note_lag()
+        return out
+
+    def read_block_raw(self):
+        self._wait_for(self._pos + self.S)
+        out = super().read_block_raw()
+        self._note_lag()
+        return out
+
+    def close(self):
+        self._src.close()

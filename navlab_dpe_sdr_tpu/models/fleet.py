@@ -24,6 +24,41 @@ class ReceiverFleet:
 
         self.receivers = [ScalarReceiver(rf, prn_list) for rf in rawfiles]
         self.labels = labels or [f"rx{i}" for i in range(len(rawfiles))]
+        self.multi = None                 # set by from_live
+
+    @classmethod
+    def from_live(cls, multi, prn_list, fs: float, max_seconds: float,
+                  labels=None, timeout_s: float = 10.0):
+        """Fleet over a live synchronized radio group (io.frontend
+        MultiSource): one LiveSampleFile per radio, pumped on its own
+        thread, so the whole acquire -> track -> decode -> align -> DPE
+        flow runs against live-paced delivery — the reference's
+        multi-USRP capture + per-file processing (guhd.cpp:27-60,
+        0_Data_reduction.py:32-133) collapsed into one live path."""
+        from ..io.frontend import LiveSampleFile
+
+        multi.start()
+        raws = [LiveSampleFile(src, fs=fs, max_seconds=max_seconds,
+                               timeout_s=timeout_s)
+                for src in multi.sources]
+        fleet = cls(raws, prn_list, labels)
+        fleet.multi = multi
+        return fleet
+
+    def live_stats(self):
+        """Per-receiver live delivery/consumption stats (from_live only):
+        lag_misses == 0 everywhere means every consumer kept within its
+        miss budget of the antenna the whole run."""
+        out = []
+        for label, rx in zip(self.labels, self.receivers):
+            rf = rx.rawfile
+            out.append({
+                "label": label,
+                "lag_max_s": round(getattr(rf, "lag_max_s", 0.0), 4),
+                "lag_misses": int(getattr(rf, "lag_misses", 0)),
+                "delivered_s": round(
+                    getattr(rf, "_delivered", 0) / rf.fs, 3)})
+        return out
 
     def _parallel(self, fn):
         """Run fn(rx) on every receiver concurrently; re-raise the first

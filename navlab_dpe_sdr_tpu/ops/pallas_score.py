@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused manifold scoring.
 
+BENCHMARK-ONLY — not on the product path. Measured SLOWER than the XLA
+one-hot scorer on this runtime (per-invocation dispatch overhead ~50 us,
+NOTES r3/r4); kept as a measured A/B reference and exercised by
+tools/pallas_ab.py + tests. Do not switch the product scorer to this
+kernel without re-measuring on the target runtime (see
+ops/tracking.py replica-strategy calibration for the pattern).
+
 Scores G grid candidates against per-channel score windows in one pass:
 per grid tile, the kernel computes each channel's fractional window index
 (LOS projection + quadratic range correction + clock offset), builds the

@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused scalar-tracking E/P/L correlation.
 
+BENCHMARK-ONLY — not on the product path. Measured SLOWER than the
+factored one-hot XLA scan on this runtime (0.0615 vs 0.0442 ms/step,
+NOTES r4 — per-invocation pallas dispatch overhead dominates); kept as a
+measured A/B reference. Do not switch the product tracker to this kernel
+without re-measuring on the target runtime (see ops/tracking.py
+replica-strategy calibration for the pattern).
+
 One 1 ms window, all channels: carrier wipeoff, constant-table half-chip
 replica lookup (the `_epl_const_fold` algebra), code-period segmentation,
 and the 18 segment sums — entirely in VMEM. The XLA scan body materializes

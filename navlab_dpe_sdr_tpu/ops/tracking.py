@@ -351,27 +351,42 @@ def _epl_const_fold(code_table: jax.Array, phase: jax.Array,
 
 
 def _epl_replicas(code_table, base, phase, period: int | None = None,
-                  n_periods: int = 1):
-    """E/P/L replica stack [C, S, 3]; strategy picked at trace time.
+                  n_periods: int = 1, strategy: str = "auto"):
+    """E/P/L replica stack [C, S, 3]; strategy explicit or heuristic.
 
-    TPU (no XLA gather): measured on the target chip (tools/
-    scalar_timing.py, chained): at m = 1 the factored one-hot wins
-    (0.0442 vs const-fold's 0.0549 ms/step — the constant-table MXU
-    traffic costs what the compare volume saved on this runtime), so it
-    stays the 1 ms default; for multi-period windows (coh_ms > 1) the
-    const fold computes ONE period and tiles — an n_periods-fold saving
-    on the replica stage that the per-sample one-hot cannot express.
-    Elsewhere: direct gather."""
-    if jax.default_backend() == "tpu":
-        if period is not None and n_periods > 1:
-            return _epl_const_fold(code_table, phase, period, n_periods)
+    strategy="auto" reproduces the measured r4 heuristic: on TPU (no XLA
+    gather) the factored one-hot at m = 1 (0.0442 vs const-fold's 0.0549
+    ms/step on the r4 target chip) and the const fold for multi-period
+    windows (coh_ms > 1: it computes ONE period and tiles — an
+    n_periods-fold saving the per-sample one-hot cannot express);
+    elsewhere direct gather. Product callers resolve the m = 1 choice via
+    the one-shot runtime calibration instead (replica_strategy /
+    calibrate_replica_strategy, r4 verdict item #6), so a runtime where
+    the measured ranking inverts is not silently mis-tuned."""
+    if strategy in (None, "auto"):
+        if jax.default_backend() == "tpu":
+            strategy = ("constfold" if period is not None and n_periods > 1
+                        else "factored")
+        else:
+            strategy = "gather"
+    if strategy == "constfold":
+        if period is None:
+            # window is not an integer number of nominal code periods —
+            # the fold precondition; fall back to the factored one-hot
+            return _epl_onehot_factored(code_table, base, phase)
+        return _epl_const_fold(code_table, phase, period, n_periods)
+    if strategy == "factored":
         return _epl_onehot_factored(code_table, base, phase)
-    return _epl_gather(code_table, base, phase)
+    if strategy == "onehot":
+        return _epl_onehot(code_table, base, phase)
+    if strategy == "gather":
+        return _epl_gather(code_table, base, phase)
+    raise ValueError(f"unknown replica strategy {strategy!r}")
 
 
 def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
                     code_table: jax.Array, time_idc: jax.Array, fs: float,
-                    m: int = 1):
+                    m: int = 1, strategy: str = "auto"):
     """E/P/L correlation of one m-ms window for all channels.
 
     raw_re/raw_im: [S] float32 (shared across channels), S = m samples/ms;
@@ -404,8 +419,8 @@ def _correlate_step(state: TrackState, raw_re: jax.Array, raw_im: jax.Array,
     # be exactly m code periods at the nominal rate (T_CA * fs integer)
     period = (s // m if s % m == 0 and abs(s / m - fs * 1e-3) < 1e-6
               else None)
-    replicas = _epl_replicas(code_table, base, rc_mid,
-                             period=period, n_periods=m)   # [C, S, 3] E/P/L
+    replicas = _epl_replicas(code_table, base, rc_mid, period=period,
+                             n_periods=m, strategy=strategy)  # [C, S, 3]
 
     # code-period boundaries: fidc = base + t*dfc + rc crosses k*L_CA at
     # sample ~ (k*L_CA - rc) * fs / fc, for k = 1..m+1
@@ -635,11 +650,11 @@ def _loops_update(state: TrackState, e_r, p_r, l_r, fcaid: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("fs", "fcaid", "loops", "coh_ms",
-                                    "unroll"))
-def track_chunk(state: TrackState, raw_chunk: jax.Array,
-                code_table: jax.Array, fs: float, fcaid: float,
-                loops: LoopConfig = LoopConfig(), coh_ms: int = 1,
-                unroll: int | None = None):
+                                    "unroll", "strategy"))
+def _track_chunk_jit(state: TrackState, raw_chunk: jax.Array,
+                     code_table: jax.Array, fs: float, fcaid: float,
+                     loops: LoopConfig = LoopConfig(), coh_ms: int = 1,
+                     unroll: int | None = None, strategy: str = "auto"):
     """Track a chunk of consecutive coh_ms-long windows.
 
     raw_chunk: [steps, S, 2] float32 (re, im last axis) or [steps, S]
@@ -677,7 +692,8 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
 
     def body(st: TrackState, raw):
         e_s, p_s, l_s, ncp = _correlate_step(st, raw[:, 0], raw[:, 1],
-                                             code_table, time_idc, fs, m)
+                                             code_table, time_idc, fs, m,
+                                             strategy)
         (e_r, p_r, l_r, signs, p_a_re_new,
          p_a_im_new) = _polarity_combine(st, e_s, p_s, l_s, ncp, m)
         st1, lock, lockval, snr = _lock_snr_update(
@@ -714,6 +730,193 @@ def track_chunk(state: TrackState, raw_chunk: jax.Array,
     if unroll is None:
         unroll = 8 if jax.default_backend() == "tpu" else 1
     return jax.lax.scan(body, state, raw_chunk, unroll=int(unroll))
+
+
+def track_chunk(state: TrackState, raw_chunk: jax.Array,
+                code_table: jax.Array, fs: float, fcaid: float,
+                loops: LoopConfig = LoopConfig(), coh_ms: int = 1,
+                unroll: int | None = None, strategy: str | None = None):
+    """Track a chunk of consecutive coh_ms-long windows (see
+    _track_chunk_jit for the full contract — this wrapper only resolves
+    the replica-construction strategy).
+
+    strategy=None picks the runtime-calibrated strategy for this
+    (backend, device) pair — measured once at first use and cached (see
+    calibrate_replica_strategy; override with NAVLAB_TRACK_STRATEGY or by
+    passing strategy= explicitly). The r3/r4 hardwired backend heuristic
+    survives as strategy="auto"."""
+    if strategy is None:
+        strategy = replica_strategy(int(coh_ms), tree=(state, raw_chunk))
+    return _track_chunk_jit(state, raw_chunk, code_table, fs, fcaid,
+                            loops=loops, coh_ms=coh_ms, unroll=unroll,
+                            strategy=strategy)
+
+
+track_chunk.clear_cache = _track_chunk_jit.clear_cache
+
+
+# ---------------------------------------------------------------------------
+# Runtime-measured replica-strategy calibration (r4 verdict item #6).
+#
+# The m = 1 ranking of semantically-equivalent replica constructions is a
+# RUNTIME property, not a backend property: on the r4 remote-attached chip
+# the factored one-hot beat const-fold 0.0442 vs 0.0549 ms/step and the
+# fused Pallas kernel lost to both on ~50 us/invocation dispatch overhead
+# (NOTES r4) — numbers that can invert on a locally-attached TPU. So the
+# product path measures once per (backend, device-kind), caches the verdict
+# in a json next to the other runtime probes, and logs it. Only
+# bit-compatible-class strategies (factored/constfold/gather: same
+# segment-sum contract, f32-ulp trajectory differences) are auto-applied;
+# the semantic variants (track_chunk_batched predictor-corrector windows,
+# track_chunk_pallas) are measured into the same file as "extras" for
+# explicit opt-in (CLI --batch-k; pallas requires NAVLAB_TRACKCAL_PALLAS=1
+# at calibration time because its first execution pays a multi-minute
+# program load on remote runtimes).
+# ---------------------------------------------------------------------------
+
+_TRACKCAL_MEM: dict[str, dict] = {}
+
+
+def _trackcal_key() -> str:
+    import re
+    dev = jax.devices()[0]
+    kind = re.sub(r"\W+", "", str(getattr(dev, "device_kind", "unknown")))
+    return f"{jax.default_backend()}_{kind}"
+
+
+def _trackcal_path() -> str:
+    import os
+    import tempfile
+    d = os.environ.get("NAVLAB_CACHE_DIR", tempfile.gettempdir())
+    return f"{d}/navlab_trackcal_{_trackcal_key()}.json"
+
+
+def calibrate_replica_strategy(steps: int = 2000, repeats: int = 3,
+                               write: bool = True) -> dict:
+    """Measure ms/step of the closed-loop tracker under each replica
+    strategy on the CURRENT backend and cache the winner.
+
+    Protocol (NOTES trust rules): one warm call per strategy (compile +
+    program load), then `repeats` timed chunks with chained state and a
+    value fetch each — median ms/step. steps defaults to the PRODUCT
+    chunk size (2000, models/scalar track chunk_ms) so per-call RPC
+    latency amortizes exactly as in production — at 64 steps the ~20 ms
+    upload+fetch round-trip of this runtime swamps the ~0.005 ms/step
+    strategy difference (measured: 0.42 vs 0.044 ms/step at 64 vs 2000).
+    Candidates are the semantically-equivalent constructions only;
+    track_chunk_batched (k=4) and, with NAVLAB_TRACKCAL_PALLAS=1, the
+    fused Pallas tracker are timed into "extras" for visibility without
+    being auto-applied. Reference anchor: correlator.py:135-283 (the
+    reference hardwires its one CUDA correlator; this framework picks
+    per runtime)."""
+    import json
+    import os
+    import sys
+    import time as _time
+
+    from ..libgnss.cacode import ca_table
+    from ..constants import F_L1
+
+    c, s, fs = 8, 2500, 2.5e6
+    fcaid = F_CA / F_L1
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.standard_normal((steps, s, 2)).astype(np.float32))
+    tab = jnp.asarray(ca_table(range(1, c + 1)).astype(np.float32))
+    st0 = init_state(rc=rng.uniform(0, 1022, c), ri=rng.uniform(0, 1, c),
+                     fc=np.full(c, F_CA), fi=rng.uniform(-3e3, 3e3, c))
+
+    def _time_fn(fn):
+        st, log = fn(st0)
+        float(jnp.sum(log.iP))                       # warm (compile+load)
+        ts = []
+        for _ in range(max(2, repeats)):
+            t0 = _time.perf_counter()
+            st, log = fn(st)
+            float(jnp.sum(log.iP))
+            ts.append((_time.perf_counter() - t0) / steps * 1e3)
+        return round(float(np.median(ts)), 5)
+
+    cands = (("factored", "constfold") if jax.default_backend() == "tpu"
+             else ("gather", "factored", "constfold"))
+    ms = {}
+    for name in cands:
+        try:
+            ms[name] = _time_fn(lambda st, n=name: _track_chunk_jit(
+                st, raw, tab, fs, fcaid, strategy=n))
+        except Exception as e:                        # pragma: no cover
+            print(f"# trackcal: strategy {name} failed: {e}",
+                  file=sys.stderr)
+    extras = {}
+    try:
+        extras["batched_k4"] = _time_fn(lambda st: track_chunk_batched(
+            st, raw, tab, fs, fcaid, batch_k=4))
+    except Exception as e:                            # pragma: no cover
+        extras["batched_k4"] = f"failed: {e}"[:120]
+    if os.environ.get("NAVLAB_TRACKCAL_PALLAS") == "1":
+        try:
+            from . import pallas_track as _pt
+            extras["pallas"] = _time_fn(lambda st: _pt.track_chunk_pallas(
+                st, raw, tab, fs))
+        except Exception as e:                        # pragma: no cover
+            extras["pallas"] = f"failed: {e}"[:120]
+    chosen = min(ms, key=ms.get) if ms else "auto"
+    cal = {"key": _trackcal_key(), "ms_per_step": ms, "extras": extras,
+           "chosen": chosen, "steps": steps, "repeats": repeats,
+           "ts": _time.time()}
+    print(f"# trackcal[{cal['key']}]: {ms} extras={extras} "
+          f"-> {chosen}", file=sys.stderr)
+    if write:
+        try:
+            path = _trackcal_path()
+            with open(path + ".tmp", "w") as f:
+                json.dump(cal, f)
+            os.replace(path + ".tmp", path)
+        except OSError:                               # pragma: no cover
+            pass
+    return cal
+
+
+def replica_strategy(coh_ms: int = 1, tree=None) -> str:
+    """Resolve the replica strategy for the product tracker.
+
+    Order: NAVLAB_TRACK_STRATEGY env override; structural choices
+    (coh_ms > 1 -> const fold, its one-period tiling is an n_periods-fold
+    algebraic saving; non-TPU -> gather, the op the backend actually has);
+    otherwise the cached per-(backend, device) calibration, run once at
+    first use (skippable with NAVLAB_NO_TRACKCAL=1 -> r4 heuristic).
+    tree: optional arg pytree — if it contains tracers we are inside an
+    outer trace where timing is meaningless, so never calibrate there."""
+    import json
+    import os
+    import sys
+
+    env = os.environ.get("NAVLAB_TRACK_STRATEGY")
+    if env:
+        return env
+    if coh_ms > 1 or jax.default_backend() != "tpu":
+        return "auto"
+    key = _trackcal_key()
+    cal = _TRACKCAL_MEM.get(key)
+    if cal is None:
+        try:
+            with open(_trackcal_path()) as f:
+                cal = json.load(f)
+        except (OSError, ValueError):
+            cal = None
+        if cal is None and os.environ.get("NAVLAB_NO_TRACKCAL") != "1":
+            if tree is not None and any(
+                    isinstance(x, jax.core.Tracer)
+                    for x in jax.tree.leaves(tree)):
+                return "auto"
+            try:
+                cal = calibrate_replica_strategy()
+            except Exception as e:                    # pragma: no cover
+                print(f"# trackcal failed ({type(e).__name__}: {e}); "
+                      f"using backend heuristic", file=sys.stderr)
+                cal = {"chosen": "auto"}
+        _TRACKCAL_MEM[key] = cal or {"chosen": "auto"}
+        cal = _TRACKCAL_MEM[key]
+    return cal.get("chosen", "auto")
 
 
 def _correlate_windows_batched(state: TrackState, raw_k, code_table,

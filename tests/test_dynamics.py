@@ -218,3 +218,37 @@ def test_fll_assist_holds_doppler_ramp():
     err_fll = run(trk.LoopConfig(order=2, bn_carr=10.0, bn_carr_freq=8.0))
     assert err_pll > 100.0, err_pll    # PLL-only demonstrably loses the ramp
     assert err_fll < 25.0, err_fll     # FLL-assist holds it
+
+
+def test_dynamics_safe_batched_config_holds_moving_receiver():
+    """The documented dynamics-safe batched choice (r4 verdict #3 /
+    run_batched docstring: "use per-block mode or small depth under fast
+    dynamics"): vehicle-class motion (~14 m/s) through run_batched with
+    per-block fixes, depth 1, modest lookahead must stay converged on the
+    true trajectory. The static-bench default (depth 4 x K=5, 4 s coast)
+    is NOT safe here — the measured envelope is tools/dynamics_envelope
+    (DYN artifact)."""
+    sim, hand, arr = make_scenario(nav_data=True)
+    vel = np.array([10.0, -8.0, 5.0])
+    rx_state = hand.x_ecef.copy()
+    rx_state[4:7] = vel
+    sim2 = CaptureSimulator(arr, rx_state, tow0=hand.rx_time, fs=FS,
+                            cn0_dbhz=47.0, nav_data=True, seed=11)
+    n_blocks = 40
+    iq = sim2.generate(50000 * n_blocks)
+    rf = SampleFile(samples=_to_iq(iq), fs=FS)
+
+    hand2 = copy.deepcopy(hand)
+    hand2.x_ecef = rx_state.copy()
+    rx = DPEReceiver(rf, hand2, grid=spread_grid(), eph=copy.deepcopy(arr),
+                     config=DPEConfig(ekf_mode="alpha", ekf_alpha=0.3))
+    rx.run_batched(n_blocks, lookahead=10, pipeline=True, pipeline_depth=1)
+
+    errs = []
+    for k, f in enumerate(rx.fixes):
+        truth = rx_state[0:3] + vel * (k + 1) * 0.02
+        errs.append(np.linalg.norm(np.asarray(f.x_ecef[0:3]) - truth))
+    assert np.median(errs[10:]) < 25.0, [round(e, 1) for e in errs]
+    # still converged at the end (no slow walk-off under the 200 ms
+    # batch-boundary feedback cadence)
+    assert np.median(errs[-10:]) < 25.0, [round(e, 1) for e in errs[-10:]]
