@@ -448,6 +448,47 @@ def cmd_fleet(args):
             srcs = [SimulatedRadio(f, fs=args.fs, block_samples=2500)
                     for f in files]
         shortest_s = min(s._iq.shape[0] for s in srcs) / args.fs
+
+        # pre-warm every jit signature the live flow will hit BEFORE the
+        # shared clock starts (cmd_live pattern: a real receiver warms up
+        # before the antenna goes hot — first executions cost seconds on
+        # this runtime and would register as delivery lag)
+        import time as _time
+        from .io.rawfile import DTYPE_IQ16
+        from .models.scalar import ScalarReceiver
+        t0 = _time.perf_counter()
+        rng = np.random.default_rng(0)
+        wsamp = np.empty(int(2.2 * args.fs), DTYPE_IQ16)
+        wsamp["i"] = rng.integers(-64, 64, wsamp.shape[0]).astype(np.int16)
+        wsamp["q"] = rng.integers(-64, 64, wsamp.shape[0]).astype(np.int16)
+        warm_rx = ScalarReceiver(SampleFile(samples=wsamp, fs=args.fs),
+                                 prns)
+        warm_rx.acquire(verbose=False)            # acquisition engines
+        warm_rx.track(2000)                       # [2000, S, 2] chunk
+        warm_rx.track(1, chunk_ms=1)              # [1, S, 2] align chunk
+        del warm_rx
+        if args.dpe_blocks:
+            import copy as _copy
+            import jax.numpy as _jnp
+            from .models.dpe import DPEConfig as _DC, DPEReceiver as _DR
+            from .models.grid import spread_grid as _sg
+            k = max(1, args.live_lookahead)
+            try:
+                # warm the batched [k, S, 2] DPE signature via a throwaway
+                # receiver on a synthetic handoff
+                from .io.scenario import make_scenario
+                _, hand0, arr0 = make_scenario(nav_data=True)
+                wrx = _DR(SampleFile(samples=wsamp, fs=args.fs),
+                          _copy.deepcopy(hand0), grid=_sg(),
+                          eph=_copy.deepcopy(arr0), config=_DC())
+                zb = np.zeros((k, wrx.S, 2), np.int16)
+                wrx.run_batched(k, lookahead=k,
+                                raw_blocks_dev=_jnp.asarray(zb))
+                del wrx
+            except Exception as e:
+                print(f"dpe warmup skipped: {e}")
+        print(f"pipeline warmup: {_time.perf_counter() - t0:.1f} s")
+
         multi = MultiSource(srcs, RadioSyncConfig())
         fleet = ReceiverFleet.from_live(
             multi, prns, fs=args.fs, max_seconds=shortest_s + 1.0,
@@ -461,6 +502,8 @@ def cmd_fleet(args):
     fleet.acquire(verbose=True)
     print(f"tracking {args.seconds}s on {len(files)} receivers ...")
     fleet.track(int(args.seconds * 1000))
+    if args.live:
+        fleet.mark_phase("track")
     decoded = fleet.decode_ephemerides(verbose=True)
     if args.rinex:
         from .libgnss import rinex as rinex_mod
@@ -474,6 +517,8 @@ def cmd_fleet(args):
               "skipping alignment/DPE")
         return
     offsets = fleet.align()
+    if args.live:
+        fleet.mark_phase("decode_align")
     print(f"alignment offsets [ms]: {list(offsets)}")
     for label, (rx_time_a, _, x_ecef, _, _) in zip(fleet.labels,
                                                    fleet.nav_solutions()):
@@ -483,10 +528,13 @@ def cmd_fleet(args):
         import os
         os.makedirs(args.out_dir, exist_ok=True)
         print(f"running DPE x{args.dpe_blocks} blocks per receiver ...")
-        dpes = fleet.run_dpe(args.dpe_blocks, checkpoint_dir=args.out_dir)
+        dpes = fleet.run_dpe(args.dpe_blocks, checkpoint_dir=args.out_dir,
+                             lookahead=(args.live_lookahead if args.live
+                                        else 1))
         for label, drx in zip(fleet.labels, dpes):
             print(f"{label}: final {drx.fixes[-1].x_ecef[:3]}")
     if args.live:
+        fleet.mark_phase("dpe")
         stats = {"sources": fleet.live_stats(),
                  "behind_max_s": round(fleet.multi.behind_max_s, 4),
                  "offsets_ms": [int(o) for o in offsets]}
@@ -1129,6 +1177,10 @@ def main(argv=None):
                          "e.g. 0,7")
     pf.add_argument("--stats-out", default=None,
                     help="write live delivery/agreement stats JSON here")
+    pf.add_argument("--live-lookahead", type=int, default=25,
+                    help="blocks per DPE dispatch in --live mode (per-"
+                         "block dispatches cannot hold 50 Hz across a "
+                         "remote-attachment RPC)")
     pf.set_defaults(fn=cmd_fleet)
 
     pm = sub.add_parser("mc", help="Monte-Carlo perturbation / grid sweeps")

@@ -417,7 +417,9 @@ class LiveSampleFile(SampleFile):
         self.timeout_s = float(timeout_s)
         self.miss_budget_s = float(miss_budget_s)
         self.lag_max_s = 0.0
+        self.lag_last_s = 0.0
         self.lag_misses = 0
+        self.phases: dict[str, dict] = {}
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
 
@@ -461,10 +463,26 @@ class LiveSampleFile(SampleFile):
 
     def _note_lag(self):
         lag = (self._delivered - self._pos) / self.fs
+        self.lag_last_s = lag
         if lag > self.lag_max_s:
             self.lag_max_s = lag
         if lag > self.miss_budget_s:
             self.lag_misses += 1
+
+    def phase_mark(self, name: str) -> dict:
+        """Close a phase: snapshot lag stats under `name` and reset the
+        counters. Per-phase accounting matters because state transitions
+        (LNAV decode, handoff) legitimately pause consumption — the
+        real-time claims are per streaming phase: tracking holds lag ~0;
+        DPE starts behind by the decode pause and must not fall further
+        (lag_end <= lag_start: catching up, not losing ground)."""
+        snap = {"lag_max_s": round(self.lag_max_s, 4),
+                "lag_last_s": round(self.lag_last_s, 4),
+                "lag_misses": self.lag_misses}
+        self.phases[name] = snap
+        self.lag_max_s = 0.0
+        self.lag_misses = 0
+        return snap
 
     def read_block(self):
         self._wait_for(self._pos + self.S)
@@ -475,6 +493,12 @@ class LiveSampleFile(SampleFile):
     def read_block_raw(self):
         self._wait_for(self._pos + self.S)
         out = super().read_block_raw()
+        self._note_lag()
+        return out
+
+    def read_chunk_raw(self, k: int):
+        self._wait_for(self._pos + k * self.S)
+        out = super().read_chunk_raw(k)
         self._note_lag()
         return out
 

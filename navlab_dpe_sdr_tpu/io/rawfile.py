@@ -170,6 +170,29 @@ class SampleFile:
         out = self._format(raw)
         return np.stack([out.real, out.imag], axis=-1).astype(np.float32)
 
+    def read_chunk_raw(self, k: int) -> np.ndarray:
+        """Next k windows as raw int16 I/Q ([k*S, 2]) in ONE slice.
+
+        The hot host path for multi-second tracking chunks: a per-window
+        read_block loop pays ~2000 python iterations + complex128
+        conversion per 2 s chunk (measured ~0.7 s of host per signal
+        second — the term that kept the live fleet consumers ~6 s behind
+        delivery, r5). Requires the gapless window config (T_big == T;
+        tracking always sets it)."""
+        if self.S_skip:
+            raise ValueError("read_chunk_raw requires T_big == T")
+        n = k * self.S
+        if self._pos + n > self.n_samples:
+            raise EOFError(
+                f"EOF: need {n} samples at {self._pos}, have "
+                f"{self.n_samples}")
+        raw = self._raw[self._pos:self._pos + n]
+        self._pos += n
+        if self.datatype == DTYPE_IQ16:
+            return np.ascontiguousarray(raw.view(np.int16).reshape(n, 2))
+        out = self._format(raw)
+        return np.stack([out.real, out.imag], axis=-1).astype(np.float32)
+
     def skip_gap(self) -> None:
         """Advance over the duty-cycle gap (T_big - T)."""
         if self.S_skip:

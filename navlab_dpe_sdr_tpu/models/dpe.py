@@ -147,8 +147,14 @@ class _RawPrefetcher:
                 for n in sizes:
                     if self._closed:
                         return
-                    blocks = np.stack(
-                        [rawfile.read_block_raw() for _ in range(n)])
+                    try:
+                        # one bulk slice per batch (the per-block loop
+                        # costs ~n python reads + copies per batch)
+                        blocks = (rawfile.read_chunk_raw(n)
+                                  .reshape(n, rawfile.S, -1))
+                    except (AttributeError, ValueError):
+                        blocks = np.stack(
+                            [rawfile.read_block_raw() for _ in range(n)])
                     staged = jax.device_put(blocks)
                     while not self._closed:     # bounded put: exit on close
                         try:

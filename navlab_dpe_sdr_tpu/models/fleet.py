@@ -28,7 +28,8 @@ class ReceiverFleet:
 
     @classmethod
     def from_live(cls, multi, prn_list, fs: float, max_seconds: float,
-                  labels=None, timeout_s: float = 10.0):
+                  labels=None, timeout_s: float = 10.0,
+                  miss_budget_s: float = 2.0):
         """Fleet over a live synchronized radio group (io.frontend
         MultiSource): one LiveSampleFile per radio, pumped on its own
         thread, so the whole acquire -> track -> decode -> align -> DPE
@@ -38,17 +39,31 @@ class ReceiverFleet:
         from ..io.frontend import LiveSampleFile
 
         multi.start()
+        # miss budget default = one 2 s tracking chunk: a miss means the
+        # consumer fell a full chunk behind, i.e. a real radio's bounded
+        # ring buffer (guhd FileBuff) would be overflowing; sub-chunk
+        # transients are normal pipelining (lag_max_s still records them)
         raws = [LiveSampleFile(src, fs=fs, max_seconds=max_seconds,
-                               timeout_s=timeout_s)
+                               timeout_s=timeout_s,
+                               miss_budget_s=miss_budget_s)
                 for src in multi.sources]
         fleet = cls(raws, prn_list, labels)
         fleet.multi = multi
         return fleet
 
+    def mark_phase(self, name: str):
+        """Close a live phase on every receiver (LiveSampleFile
+        phase_mark): per-phase lag accounting, since state transitions
+        (decode, handoff) legitimately pause consumption."""
+        for rx in self.receivers:
+            if hasattr(rx.rawfile, "phase_mark"):
+                rx.rawfile.phase_mark(name)
+
     def live_stats(self):
         """Per-receiver live delivery/consumption stats (from_live only):
-        lag_misses == 0 everywhere means every consumer kept within its
-        miss budget of the antenna the whole run."""
+        zero track-phase lag_misses means every consumer held the antenna
+        pace through tracking; the dpe phase's lag_last <= lag_max shows
+        it caught up from the decode pause rather than losing ground."""
         out = []
         for label, rx in zip(self.labels, self.receivers):
             rf = rx.rawfile
@@ -56,6 +71,7 @@ class ReceiverFleet:
                 "label": label,
                 "lag_max_s": round(getattr(rf, "lag_max_s", 0.0), 4),
                 "lag_misses": int(getattr(rf, "lag_misses", 0)),
+                "phases": getattr(rf, "phases", {}),
                 "delivered_s": round(
                     getattr(rf, "_delivered", 0) / rf.fs, 3)})
         return out
@@ -94,12 +110,16 @@ class ReceiverFleet:
         return [rx.decode_ephemerides(verbose=verbose)
                 for rx in self.receivers]
 
-    def align(self) -> np.ndarray:
+    def align(self, chunk_ms: int = 1) -> np.ndarray:
         """Track extra 1 ms blocks on laggards so all receivers' estimated
         receive times agree to the millisecond (0_Data_reduction.py:124-133).
 
-        Returns the per-receiver offsets applied (ms).
-        """
+        chunk_ms=1 tracks the catch-up milliseconds one device chunk at a
+        time: the offset is data-dependent, and a [off, S, 2] chunk would
+        be a fresh jit signature compiled mid-run — fatal under live
+        pacing where first executions cost seconds (the [1, S, 2]
+        signature is pre-warmable). Returns the per-receiver offsets
+        applied (ms)."""
         times = []
         for rx in self.receivers:
             rx_time_a, *_ = rx.nav_solution()
@@ -108,7 +128,7 @@ class ReceiverFleet:
         offsets = np.round((times.max() - times) * 1000.0).astype(int)
         for rx, off in zip(self.receivers, offsets):
             if off > 0:
-                rx.track(int(off))
+                rx.track(int(off), chunk_ms=chunk_ms)
         return offsets
 
     def nav_solutions(self):
@@ -116,10 +136,15 @@ class ReceiverFleet:
 
     def run_dpe(self, n_blocks: int, grid=None, config=None,
                 checkpoint_every: int = 100, checkpoint_dir=None,
-                parallel: bool = True):
+                parallel: bool = True, lookahead: int = 1):
         """Per-receiver DPE loops (handoff taken from each receiver's own
         state), with periodic fix-array checkpoints
-        (0_Data_reduction.py:175-179)."""
+        (0_Data_reduction.py:175-179).
+
+        lookahead > 1 runs each receiver in batched mode (run_batched,
+        K blocks per device dispatch) — required to hold real time on a
+        remote-attached accelerator where a per-block dispatch pays a
+        full RPC round-trip (the same reason cli live batches)."""
         from .dpe import DPEReceiver
         from .grid import spread_grid
 
@@ -133,6 +158,13 @@ class ReceiverFleet:
 
         def run_one(idx_rx):
             idx, drx = idx_rx
+            if lookahead > 1:
+                n = n_blocks - n_blocks % lookahead
+                drx.run_batched(n, lookahead=lookahead, pipeline=True)
+                if checkpoint_dir:
+                    np.save(f"{checkpoint_dir}/{self.labels[idx]}_X.npy",
+                            np.stack([f.x_ecef for f in drx.fixes]))
+                return
             for b in range(n_blocks):
                 drx.step()
                 if checkpoint_dir and (b + 1) % checkpoint_every == 0:
