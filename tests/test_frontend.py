@@ -177,3 +177,71 @@ def test_cli_live_simulated_radio(tmp_path):
     assert rec["rt_misses"] <= rec["iterations"], rec
     assert rec["margin_x"] > 0.2, rec
     assert "server_behind_max_ms" in rec
+
+
+def test_read_chunk_raw_matches_per_block_reads():
+    """The bulk chunk read (r5 live-pacing fix) must return exactly the
+    per-block loop's samples for both datatypes, advance the cursor
+    identically, and refuse duty-cycled windows."""
+    from navlab_dpe_sdr_tpu.io.rawfile import (DTYPE_ARG_PI4, DTYPE_IQ16,
+                                               SampleFile)
+
+    rng = np.random.default_rng(3)
+    n = 25000
+    s16 = np.empty(n, DTYPE_IQ16)
+    s16["i"] = rng.integers(-2048, 2048, n).astype(np.int16)
+    s16["q"] = rng.integers(-2048, 2048, n).astype(np.int16)
+
+    rf_a = SampleFile(samples=s16, fs=2.5e6)
+    rf_b = SampleFile(samples=s16, fs=2.5e6)
+    chunk = rf_a.read_chunk_raw(4)                       # [4*S, 2] int16
+    blocks = np.concatenate([rf_b.read_block_raw() for _ in range(4)])
+    np.testing.assert_array_equal(chunk, blocks)
+    assert rf_a.sample_pos == rf_b.sample_pos
+
+    # phase-quantized datatype: float32 pairs equal to the formatted path
+    s8 = np.empty(n, DTYPE_ARG_PI4)
+    s8["arg_pi4"] = rng.integers(0, 8, n).astype(np.int8)
+    rf_c = SampleFile(samples=s8, fs=2.5e6, datatype=DTYPE_ARG_PI4)
+    rf_d = SampleFile(samples=s8, fs=2.5e6, datatype=DTYPE_ARG_PI4)
+    chunk8 = rf_c.read_chunk_raw(2)
+    blocks8 = np.concatenate([rf_d.read_block_raw() for _ in range(2)])
+    np.testing.assert_allclose(chunk8, blocks8, rtol=0, atol=0)
+
+    # duty-cycled window (T_big > T) must refuse the bulk path
+    rf_e = SampleFile(samples=s16, fs=2.5e6)
+    rf_e.set_block(1e-3, 2e-3, verbose=False)
+    with pytest.raises(ValueError):
+        rf_e.read_chunk_raw(2)
+    # and EOF past the end
+    with pytest.raises(EOFError):
+        rf_a.read_chunk_raw(100)
+
+
+def test_live_sample_file_phase_marks():
+    """Per-phase lag accounting: counters snapshot and reset at
+    phase_mark; a stalled consumer registers misses against its budget."""
+    import time as _time
+
+    from navlab_dpe_sdr_tpu.io.frontend import LiveSampleFile, SimulatedRadio
+    from navlab_dpe_sdr_tpu.io.rawfile import DTYPE_IQ16
+
+    n = 25000 * 8
+    s16 = np.zeros(n, DTYPE_IQ16)
+    src = SimulatedRadio(s16.copy(), fs=2.5e6, block_samples=2500,
+                         realtime=False)
+    rf = LiveSampleFile(src, fs=2.5e6, max_seconds=0.2, timeout_s=10.0,
+                        miss_budget_s=0.005)
+    try:
+        rf.read_chunk_raw(10)                 # ~at the delivery edge early
+        snap = rf.phase_mark("p1")
+        assert rf.lag_misses == 0 and rf.lag_max_s == 0.0   # reset
+        # non-realtime source delivers everything immediately; a late
+        # reader sees the full backlog as lag
+        _time.sleep(0.05)
+        rf.read_chunk_raw(10)
+        snap2 = rf.phase_mark("p2")
+        assert snap2["lag_misses"] >= 1
+        assert rf.phases["p1"] == snap
+    finally:
+        rf.close()
