@@ -320,37 +320,65 @@ def _windowed_correlate_direct(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                         flip_used=use_flip)
 
 
-def _dft_twiddles_mixed(vel_start, fi, ri, dt_s, f_total: int, s1_n: int,
-                        s0_n: int, carr_win: int, t0=0.0):
-    """Two-stage carrier-DFT twiddles with the wipeoff folded in.
+@functools.lru_cache(maxsize=8)
+def _dft_wconst(f_total: int, period: int, carr_win: int):
+    """Constant window-offset DFT twiddles e^{-2pi i w tau / F} [W, P0].
 
-    Combined phase per sample: the integer-exact window-bin phase
-    2*pi*(k*s mod F)/F (as _dft_twiddles) PLUS the carrier-wipeoff phase
-    2*pi*(fi*(t0 + s*dt) + ri), split over s = s0_n*s1 + s0 (ri and the
-    time origin t0 = time_idc[0] ride stage b — matches the direct form's
-    wipeoff over an arbitrary affine time vector).
-    Folding the wipeoff into the [C, W, s1]/[C, W, s0] twiddle tables
-    removes the [C, S] cos/sin + complex rotation from the hot path — the
-    correlator's dominant elementwise cost.
-    """
+    The carrier window's W bins are CONSECUTIVE (k_cw = k0_c + w), so the
+    bin phase splits k*tau = k0*tau + w*tau: the w part depends only on
+    (w, tau) — one [W, P0] table shared across channels AND blocks, a
+    compile-time constant (np at trace time)."""
+    w = np.arange(carr_win, dtype=np.int64)[:, None]
+    tau = np.arange(period, dtype=np.int64)[None, :]
+    ang = (2.0 * np.pi / f_total) * ((w * tau) % f_total)
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _dft_twiddles_period(vel_start, fi, ri, dt_s, f_total: int,
+                         n_periods: int, period: int, carr_win: int,
+                         t0=0.0):
+    """Period-split carrier-DFT twiddles (wipeoff folded in).
+
+    Same combined phase as the r1-r4 mixed (196 x 256) split but along
+    the CODE PERIOD: s = p*P0 + tau. Returns the period-axis factor
+    a_cos/a_sin [C, W, P] (phase k*P0*p + 2pi*fi*p*P0*dt) and the
+    channel tau-axis factor q_cos/q_sin [C, P0] (phase k0*tau +
+    2pi*(fi*(t0 + tau*dt) + ri), k0 = first window bin); the remaining
+    w*tau part is the constant _dft_wconst table. The product of the
+    three e^{-i.} factors equals the mixed-split twiddles exactly (all
+    integer bin phases via int32-safe nested mods). This split lets the
+    flip signs fold into the [C, W, P] factor so the DFT input stays the
+    SHARED [P, P0] raw reshape — no [C, S] (or [N, C, S] batched)
+    tensor is ever materialized (the r5 correlation-floor lever)."""
     j = jax.lax.broadcasted_iota(jnp.int32, (1, carr_win), 1)
-    k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2),
-                np.int32(f_total))                        # [C, W]
+    f = np.int32(f_total)
     two_pi = np.float32(2.0 * np.pi)
+    k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2), f)
 
-    s1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s1_n), 2)
-    k256 = jnp.mod(k * np.int32(s0_n), np.int32(f_total))  # [C, W]
-    ph_a = jnp.mod(k256[:, :, None] * s1, np.int32(f_total)).astype(jnp.float32)
-    t_a = (s1.astype(jnp.float32) * np.float32(s0_n)) * dt_s
+    # period factor: k*P0 mod F (k*P0 <= F*P0 ~ 1.3e9, int32-safe), then
+    # * p <= n_periods (small)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_periods), 2)
+    kp0 = jnp.mod(k * np.int32(period), f)                  # [C, W]
+    ph_a = jnp.mod(kp0[:, :, None] * p, f).astype(jnp.float32)
+    t_a = p.astype(jnp.float32) * np.float32(period) * dt_s
     ang_a = (ph_a * np.float32(2.0 * np.pi / f_total)
              + two_pi * fi[:, None, None] * t_a)
 
-    s0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s0_n), 2)
-    ph_b = jnp.mod(k[:, :, None] * s0, np.int32(f_total)).astype(jnp.float32)
-    t_b = t0 + s0.astype(jnp.float32) * dt_s
-    ang_b = (ph_b * np.float32(2.0 * np.pi / f_total)
-             + two_pi * (fi[:, None, None] * t_b + ri[:, None, None]))
-    return (jnp.cos(ang_a), jnp.sin(ang_a), jnp.cos(ang_b), jnp.sin(ang_b))
+    # channel tau factor: k0*tau mod F via a nested split (k0 < F and
+    # tau < P0 overflow int32 multiplied directly)
+    k0 = k[:, 0]                                            # [C]
+    q0 = 64
+    t1 = jax.lax.broadcasted_iota(jnp.int32, (1, period), 1) // np.int32(q0)
+    t0i = jax.lax.broadcasted_iota(jnp.int32, (1, period), 1) % np.int32(q0)
+    m1 = jnp.mod(k0 * np.int32(q0), f)                      # [C]
+    ph_q = jnp.mod(m1[:, None] * t1 + k0[:, None] * t0i,
+                   f).astype(jnp.float32)                   # [C, P0]
+    tau_t = (t0 + jax.lax.broadcasted_iota(jnp.int32, (1, period), 1)
+             .astype(jnp.float32) * dt_s)
+    ang_q = (ph_q * np.float32(2.0 * np.pi / f_total)
+             + two_pi * (fi[:, None] * tau_t + ri[:, None]))
+    return (jnp.cos(ang_a), jnp.sin(ang_a),
+            jnp.cos(ang_q), jnp.sin(ang_q))
 
 
 @functools.partial(jax.jit,
@@ -377,10 +405,10 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     [n_periods, P0] raw reshape followed by one [C, P0] rotation, the
     nav-bit tail fold the same with masked weights plus one exact
     boundary-period term, the lag-0 flip decision reads off the folds, and
-    the carrier wipeoff folds into the two-stage DFT twiddles
-    (_dft_twiddles_mixed). No [C, S]-sized trig or complex rotation
-    remains — the only full-length work is the code wipeoff product
-    feeding the carrier DFT. Contract: time_idc must be uniform/affine
+    the carrier wipeoff folds into the period-split DFT twiddles
+    (_dft_twiddles_period + _dft_wconst) with the flip signs folded into
+    the period factor. No [C, S]-sized tensor remains anywhere in the
+    step — the DFT consumes the SHARED [n_periods, P0] raw reshape. Contract: time_idc must be uniform/affine
     (t0 + s*dt); t0 may be nonzero (e.g. io/rawfile.py samp_idc/fs
     mid-file). Equivalence to the direct form
     (_windowed_correlate_direct) is tested in tests/test_dpe_real.py
@@ -564,36 +592,73 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     if not complex_out:
         code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
 
-    # ---- carrier windowed DFT (wipeoff folded into the twiddles) --------
-    repl = jnp.tile(p_repl, (1, n_periods))                 # [C, S]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    flip_sign = 1.0 - 2.0 * (cols >= idx_next[:, None]).astype(jnp.float32)
-    repl_chosen = jnp.where(use_flip[:, None], repl * flip_sign, repl)
+    # ---- carrier windowed DFT (period split, wipeoff in the twiddles) ---
+    # DFT_w = sum_p sum_tau e^{-i ang} repl_chosen (raw - mean), with the
+    # flip's whole-period signs folded into the [C, W, P] period factor
+    # and the partial boundary period corrected exactly — the DFT input
+    # stays the SHARED [P, P0] raw reshape, so no [C, S] tensor (or
+    # [N, C, S] under the batched vmap) is materialized. The previous
+    # mixed split wrote + re-read ~320 MB of yb per 50-block batch — the
+    # dominant HBM term of the correlation floor (r5).
     mean_re = jnp.mean(raw_re)
     mean_im = jnp.mean(raw_im)
-    yb_re = (raw_re[None, :] - mean_re) * repl_chosen       # [C, S]
-    yb_im = (raw_im[None, :] - mean_im) * repl_chosen
-
-    s0_n = 256
-    s1_n = -(-s // s0_n)
-    pad = s1_n * s0_n - s
-    yb_re_p = jnp.pad(yb_re, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
-    yb_im_p = jnp.pad(yb_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
-
+    rawm_p = raw_p - mean_re                                # [P, P0]
+    rawm_ip = raw_ip - mean_im
     dt_s = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
-    a_cos, a_sin, b_cos, b_sin = _dft_twiddles_mixed(
-        vel_start, fi, ri, dt_s, carr_fftpts, s1_n, s0_n, carr_win,
+    a_cos, a_sin, q_cos, q_sin = _dft_twiddles_period(
+        vel_start, fi, ri, dt_s, carr_fftpts, n_periods, period, carr_win,
         t0=time_idc[0])
-    z_re = (jnp.einsum("cws,cst->cwt", a_cos, yb_re_p,
+    wc_np, ws_np = _dft_wconst(carr_fftpts, period, carr_win)
+    wc_t, ws_t = jnp.asarray(wc_np), jnp.asarray(ws_np)     # [W, P0]
+
+    # whole-period flip signs in the period factor (+1 everywhere when
+    # the no-flip hypothesis won)
+    g0 = jnp.where(use_flip[:, None], 1.0 - 2.0 * maskp, 1.0)   # [C, P]
+    aw_cos = a_cos * g0[:, None, :]
+    aw_sin = a_sin * g0[:, None, :]
+    inner_re = (jnp.einsum("cwp,pt->cwt", aw_cos, rawm_p,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("cwp,pt->cwt", aw_sin, rawm_ip,
+                             preferred_element_type=jnp.float32))
+    inner_im = (jnp.einsum("cwp,pt->cwt", aw_cos, rawm_ip,
+                           preferred_element_type=jnp.float32)
+                - jnp.einsum("cwp,pt->cwt", aw_sin, rawm_p,
+                             preferred_element_type=jnp.float32))
+
+    # exact partial-period correction: within the boundary period p_b the
+    # true sign for tau >= r_off is -1 while g0 used +1 -> add
+    # -2 * A'[p_b] * (raw[p_b] - mean) over that arc (use_flip only)
+    def aw_at(mat, st):
+        return jax.lax.dynamic_slice(mat, (0, st), (mat.shape[0], 1))[:, 0]
+
+    a_cos_b = jax.vmap(aw_at)(a_cos, p_bc)                  # [C, W]
+    a_sin_b = jax.vmap(aw_at)(a_sin, p_bc)
+    rbm_re = raw_b_re - mean_re                             # [C, P0]
+    rbm_im = raw_b_im - mean_im
+    fmask = gmask * use_flip.astype(jnp.float32)[:, None]   # [C, P0]
+    inner_re = inner_re - 2.0 * (
+        a_cos_b[:, :, None] * (fmask * rbm_re)[:, None, :]
+        + a_sin_b[:, :, None] * (fmask * rbm_im)[:, None, :])
+    inner_im = inner_im - 2.0 * (
+        a_cos_b[:, :, None] * (fmask * rbm_im)[:, None, :]
+        - a_sin_b[:, :, None] * (fmask * rbm_re)[:, None, :])
+
+    # channel tau factor x code replica, then the constant w*tau factor
+    # with the final tau reduction (fused elementwise + two contractions)
+    qp_cos = q_cos * p_repl                                 # [C, P0]
+    qp_sin = q_sin * p_repl
+    y_re = (qp_cos[:, None, :] * inner_re
+            + qp_sin[:, None, :] * inner_im)                # [C, W, P0]
+    y_im = (qp_cos[:, None, :] * inner_im
+            - qp_sin[:, None, :] * inner_re)
+    x_re = (jnp.einsum("cwt,wt->cw", y_re, wc_t,
                        preferred_element_type=jnp.float32)
-            + jnp.einsum("cws,cst->cwt", a_sin, yb_im_p,
+            + jnp.einsum("cwt,wt->cw", y_im, ws_t,
                          preferred_element_type=jnp.float32))
-    z_im = (jnp.einsum("cws,cst->cwt", a_cos, yb_im_p,
+    x_im = (jnp.einsum("cwt,wt->cw", y_im, wc_t,
                        preferred_element_type=jnp.float32)
-            - jnp.einsum("cws,cst->cwt", a_sin, yb_re_p,
+            - jnp.einsum("cwt,wt->cw", y_re, ws_t,
                          preferred_element_type=jnp.float32))
-    x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
-    x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
     if complex_out:
         return RealBlockOutC(code_re=w_re, code_im=w_im,
                              carr_re=x_re, carr_im=x_im, flip_used=use_flip)
