@@ -320,6 +320,39 @@ def _windowed_correlate_direct(raw_re, raw_im, chips, base0, rc_mid, idx_next,
                         flip_used=use_flip)
 
 
+def _dft_twiddles_mixed(vel_start, fi, ri, dt_s, f_total: int, s1_n: int,
+                        s0_n: int, carr_win: int, t0=0.0):
+    """Two-stage (s0_n-way split) carrier-DFT twiddles with the wipeoff
+    folded in — the non-TPU branch of the windowed carrier DFT.
+
+    Combined phase per sample: the integer-exact window-bin phase
+    2*pi*(k*s mod F)/F PLUS the carrier-wipeoff phase
+    2*pi*(fi*(t0 + s*dt) + ri), split over s = s0_n*s1 + s0. This split
+    materializes the full-length wipeoff product but keeps the per-stage
+    intermediates tiny ([C, W, 256]) — the CACHE-friendly shape: on the
+    CPU mesh it measured ~30 % faster than the period split, while on
+    TPU the period split wins by eliminating the [C, S] HBM traffic
+    (r5 A/B, NOTES)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, carr_win), 1)
+    k = jnp.mod(vel_start[:, None] + j - np.int32(f_total // 2),
+                np.int32(f_total))                        # [C, W]
+    two_pi = np.float32(2.0 * np.pi)
+
+    s1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s1_n), 2)
+    k256 = jnp.mod(k * np.int32(s0_n), np.int32(f_total))  # [C, W]
+    ph_a = jnp.mod(k256[:, :, None] * s1, np.int32(f_total)).astype(jnp.float32)
+    t_a = (s1.astype(jnp.float32) * np.float32(s0_n)) * dt_s
+    ang_a = (ph_a * np.float32(2.0 * np.pi / f_total)
+             + two_pi * fi[:, None, None] * t_a)
+
+    s0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s0_n), 2)
+    ph_b = jnp.mod(k[:, :, None] * s0, np.int32(f_total)).astype(jnp.float32)
+    t_b = t0 + s0.astype(jnp.float32) * dt_s
+    ang_b = (ph_b * np.float32(2.0 * np.pi / f_total)
+             + two_pi * (fi[:, None, None] * t_b + ri[:, None, None]))
+    return (jnp.cos(ang_a), jnp.sin(ang_a), jnp.cos(ang_b), jnp.sin(ang_b))
+
+
 @functools.lru_cache(maxsize=8)
 def _dft_wconst(f_total: int, period: int, carr_win: int):
     """Constant window-offset DFT twiddles e^{-2pi i w tau / F} [W, P0].
@@ -405,10 +438,13 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     [n_periods, P0] raw reshape followed by one [C, P0] rotation, the
     nav-bit tail fold the same with masked weights plus one exact
     boundary-period term, the lag-0 flip decision reads off the folds, and
-    the carrier wipeoff folds into the period-split DFT twiddles
-    (_dft_twiddles_period + _dft_wconst) with the flip signs folded into
-    the period factor. No [C, S]-sized tensor remains anywhere in the
-    step — the DFT consumes the SHARED [n_periods, P0] raw reshape. Contract: time_idc must be uniform/affine
+    the carrier wipeoff folds into the DFT twiddles. On TPU the DFT uses
+    the period split (_dft_twiddles_period + _dft_wconst, flip signs in
+    the period factor): no [C, S]-sized tensor remains anywhere in the
+    step — the DFT consumes the SHARED [n_periods, P0] raw reshape
+    (eliminates the dominant HBM term). Elsewhere the 256-way mixed
+    split keeps intermediates cache-resident (~30 % faster on the CPU
+    mesh, r5 A/B). Contract: time_idc must be uniform/affine
     (t0 + s*dt); t0 may be nonzero (e.g. io/rawfile.py samp_idc/fs
     mid-file). Equivalence to the direct form
     (_windowed_correlate_direct) is tested in tests/test_dpe_real.py
@@ -592,19 +628,59 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     if not complex_out:
         code_mag = jnp.sqrt(w_re * w_re + w_im * w_im)
 
-    # ---- carrier windowed DFT (period split, wipeoff in the twiddles) ---
-    # DFT_w = sum_p sum_tau e^{-i ang} repl_chosen (raw - mean), with the
-    # flip's whole-period signs folded into the [C, W, P] period factor
-    # and the partial boundary period corrected exactly — the DFT input
-    # stays the SHARED [P, P0] raw reshape, so no [C, S] tensor (or
-    # [N, C, S] under the batched vmap) is materialized. The previous
-    # mixed split wrote + re-read ~320 MB of yb per 50-block batch — the
-    # dominant HBM term of the correlation floor (r5).
+    # ---- carrier windowed DFT (wipeoff folded into the twiddles) --------
+    # Two equivalent splits, chosen per backend at trace time:
+    # - TPU: period split — DFT_w = sum_p sum_tau with the flip's
+    #   whole-period signs folded into the [C, W, P] period factor and
+    #   the partial boundary period corrected exactly; the DFT input
+    #   stays the SHARED [P, P0] raw reshape, so no [C, S] tensor (or
+    #   [N, C, S] under the batched vmap) is materialized (the mixed
+    #   split wrote + re-read ~320 MB of yb per 50-block batch — the
+    #   dominant HBM term of the correlation floor; r5: 0.402 -> 0.390
+    #   ms/block dispatch).
+    # - elsewhere: the 256-way mixed split — it materializes the
+    #   full-length wipeoff product but keeps per-stage intermediates
+    #   at [C, W, 256] (cache-resident); measured ~30 % faster than the
+    #   period split on the CPU mesh (r5 A/B).
     mean_re = jnp.mean(raw_re)
     mean_im = jnp.mean(raw_im)
+    dt_s = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
+    if jax.default_backend() != "tpu":
+        repl = jnp.tile(p_repl, (1, n_periods))             # [C, S]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+        flip_sign = 1.0 - 2.0 * (cols >= idx_next[:, None]).astype(
+            jnp.float32)
+        repl_chosen = jnp.where(use_flip[:, None], repl * flip_sign, repl)
+        yb_re = (raw_re[None, :] - mean_re) * repl_chosen   # [C, S]
+        yb_im = (raw_im[None, :] - mean_im) * repl_chosen
+        s0_n = 256
+        s1_n = -(-s // s0_n)
+        pad = s1_n * s0_n - s
+        yb_re_p = jnp.pad(yb_re, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+        yb_im_p = jnp.pad(yb_im, ((0, 0), (0, pad))).reshape(c, s1_n, s0_n)
+        a_cos, a_sin, b_cos, b_sin = _dft_twiddles_mixed(
+            vel_start, fi, ri, dt_s, carr_fftpts, s1_n, s0_n, carr_win,
+            t0=time_idc[0])
+        z_re = (jnp.einsum("cws,cst->cwt", a_cos, yb_re_p,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("cws,cst->cwt", a_sin, yb_im_p,
+                             preferred_element_type=jnp.float32))
+        z_im = (jnp.einsum("cws,cst->cwt", a_cos, yb_im_p,
+                           preferred_element_type=jnp.float32)
+                - jnp.einsum("cws,cst->cwt", a_sin, yb_re_p,
+                             preferred_element_type=jnp.float32))
+        x_re = jnp.sum(z_re * b_cos + z_im * b_sin, axis=2)
+        x_im = jnp.sum(z_im * b_cos - z_re * b_sin, axis=2)
+        if complex_out:
+            return RealBlockOutC(code_re=w_re, code_im=w_im,
+                                 carr_re=x_re, carr_im=x_im,
+                                 flip_used=use_flip)
+        carr_mag = jnp.sqrt(x_re * x_re + x_im * x_im)
+        return RealBlockOut(code_mag=code_mag, carr_mag=carr_mag,
+                            flip_used=use_flip)
+
     rawm_p = raw_p - mean_re                                # [P, P0]
     rawm_ip = raw_ip - mean_im
-    dt_s = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
     a_cos, a_sin, q_cos, q_sin = _dft_twiddles_period(
         vel_start, fi, ri, dt_s, carr_fftpts, n_periods, period, carr_win,
         t0=time_idc[0])

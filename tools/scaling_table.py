@@ -7,7 +7,7 @@ scaling, not N devices time-slicing the same cores.
 
 Single measurement:
     python tools/scaling_table.py --devices 2 [--grid-scale 2] [--iters 10]
-Full table (writes SCALING_r03.json):
+Full table (writes SCALING_r05.json):
     python tools/scaling_table.py --all
 
 The BASELINE north-star metric is grid-points/s scaling efficiency >= 80%
@@ -121,7 +121,7 @@ def main(argv=None):
     p.add_argument("--grid-scale", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--all", action="store_true")
-    p.add_argument("--out", default="SCALING_r03.json")
+    p.add_argument("--out", default="SCALING_r05.json")
     args = p.parse_args(argv)
     if args.all:
         run_all((1, 4, 8), args.iters, args.out)
