@@ -638,14 +638,17 @@ def windowed_correlate(raw_re, raw_im, chips, base0, rc_mid, idx_next,
     #   split wrote + re-read ~320 MB of yb per 50-block batch — the
     #   dominant HBM term of the correlation floor; r5: 0.402 -> 0.390
     #   ms/block dispatch).
-    # - elsewhere: the 256-way mixed split — it materializes the
-    #   full-length wipeoff product but keeps per-stage intermediates
-    #   at [C, W, 256] (cache-resident); measured ~30 % faster than the
-    #   period split on the CPU mesh (r5 A/B).
+    # - elsewhere AND for complex_out: the 256-way mixed split — it
+    #   materializes the full-length wipeoff product but keeps per-stage
+    #   intermediates at [C, W, 256] (cache-resident on CPU: ~30 %
+    #   faster there; and measured ~9 % faster than the period split for
+    #   the grouped complex-window variant on TPU too — 0.173 vs 0.188
+    #   ms/block full_g5, r5 A/B — while the period split wins the
+    #   per-block magnitude variant 0.390 vs 0.402).
     mean_re = jnp.mean(raw_re)
     mean_im = jnp.mean(raw_im)
     dt_s = (time_idc[s - 1] - time_idc[0]) / np.float32(s - 1)
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or complex_out:
         repl = jnp.tile(p_repl, (1, n_periods))             # [C, S]
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
         flip_sign = 1.0 - 2.0 * (cols >= idx_next[:, None]).astype(
