@@ -219,8 +219,9 @@ def main():
         from navlab_dpe_sdr_tpu.ops import tracking as trk
         tab = jnp.asarray(ca_table(hand.prn_list).astype(np.float32))
         st = trk.init_state(rc=hand.rc, ri=hand.ri, fc=hand.fc, fi=hand.fi)
-        chunks = [jnp.asarray(ms_blocks[i * chunk:(i + 1) * chunk]
-                              .astype(np.float32))
+        # int16 uploads (track_chunk casts on-device): the upload is the
+        # dominant remote-runtime term of this segment (r5)
+        chunks = [jnp.asarray(ms_blocks[i * chunk:(i + 1) * chunk])
                   for i in range(n_chunks)]
         st, log = trk.track_chunk(st, chunks[0], tab, rf.fs, rf.fcaid)
         float(jnp.sum(log.iP))                      # compile + warm
@@ -321,16 +322,19 @@ def _ttff(samples, hand, grid):
         rx = ScalarReceiver(rf, prns)
         rx.acquire(verbose=False)
         # track to the first point ephemerides CAN be complete, then in
-        # 2 s steps until >= 4 PRNs decode (first-fix minimum)
+        # 2 s steps until EVERY channel decodes (save_handoff/eph_array
+        # export all channels, so a partial decode cannot hand off; the
+        # subframe phase differs per PRN, so the tail takes 0-6 s more)
         rx.track(30_000)
         signal_ms = 30_000
         good = rx.decode_ephemerides(verbose=False)
-        while len(good) < 4 and signal_ms < 44_000:
+        while len(good) < len(prns) and signal_ms < 44_000:
             rx.track(2_000)
             signal_ms += 2_000
             good = rx.decode_ephemerides(verbose=False)
-        if len(good) < 4:
-            raise RuntimeError(f"only {len(good)} ephemerides decoded")
+        if len(good) < len(prns):
+            raise RuntimeError(f"only {len(good)}/{len(prns)} "
+                               f"ephemerides decoded")
         h = rx.save_handoff("")
         drx = DPEReceiver(SampleFile(samples=samples, fs=2.5e6), h,
                           grid=grid, eph=rx.eph_array(), config=DPEConfig())

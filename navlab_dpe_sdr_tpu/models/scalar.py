@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,17 +172,14 @@ class ScalarReceiver:
         s = rf.S
         sw = s * coh_ms                   # samples per update window
 
-        done = 0
-        while done < n_ms:
-            n = min(chunk_ms, n_ms - done) // coh_ms   # updates this chunk
-            start_samp = rf.sample_pos
+        def read_chunk(n):
+            """One chunk of n updates as [n, sw, 2] — bulk int16 slice
+            (one read + the device casts on-chip; the per-block fallback
+            covers duty-cycled/exotic configs). The r5 host-cost story:
+            the per-ms loop cost ~0.7 s per signal second and the f32
+            upload ~0.8 s per 2 s chunk; bulk int16 removes both."""
             try:
-                # ONE bulk slice for the whole chunk — the per-block loop
-                # below costs ~0.7 s of host per signal second (complex128
-                # conversion + 2000 python iterations per 2 s chunk) and
-                # cannot hold real time under live pacing (r5)
-                raw = (rf.read_chunk_raw(n * coh_ms)
-                       .reshape(n, sw, 2).astype(np.float32))
+                return rf.read_chunk_raw(n * coh_ms).reshape(n, sw, 2)
             except (AttributeError, ValueError):
                 raw = np.empty((n, sw, 2), dtype=np.float32)
                 for i in range(n * coh_ms):
@@ -189,36 +187,66 @@ class ScalarReceiver:
                     u, o = divmod(i, coh_ms)
                     raw[u, o * s:(o + 1) * s, 0] = blk.real
                     raw[u, o * s:(o + 1) * s, 1] = blk.imag
-            # upload as all-real [n, S, 2] — no complex64 on device, so the
-            # same path runs on backends without complex support (axon TPU)
+                return raw
+
+        # double-buffered uploads: device_put is asynchronous, so issuing
+        # chunk k+1's upload BEFORE absorbing chunk k's log overlaps the
+        # host->device transfer (the dominant remote-runtime term, ~0.4 s
+        # per 2 s chunk even at int16) with device compute + the log fetch
+        done = 0
+        n0 = min(chunk_ms, n_ms - done) // coh_ms
+        start_samp = rf.sample_pos
+        staged = (n0, start_samp, jax.device_put(read_chunk(n0)))
+        while staged is not None:
+            n, start_samp, raw_dev = staged
             if batch_k > 1:
                 self.state, log = trk_ops.track_chunk_batched(
-                    self.state, jnp.asarray(raw), self.code_table, rf.fs,
+                    self.state, raw_dev, self.code_table, rf.fs,
                     rf.fcaid, self.loops, batch_k=batch_k)
             else:
                 self.state, log = trk_ops.track_chunk(
-                    self.state, jnp.asarray(raw), self.code_table, rf.fs,
+                    self.state, raw_dev, self.code_table, rf.fs,
                     rf.fcaid, self.loops, coh_ms=coh_ms)
+            done += n * coh_ms
+            if done < n_ms:
+                n1 = min(chunk_ms, n_ms - done) // coh_ms
+                samp1 = rf.sample_pos
+                staged = (n1, samp1, jax.device_put(read_chunk(n1)))
+            else:
+                staged = None
             self._absorb_log(log)
             self._m_samp.extend(start_samp + (np.arange(n) + 1) * sw)
-            done += n * coh_ms
             self.mcount += n
 
     def _absorb_log(self, log):
-        arrs = {k: np.asarray(getattr(log, k)) for k in LOG_FIELDS}
-        ncp = np.asarray(log.ncp)           # [steps, C]
-        signs = np.asarray(log.signs)       # [steps, C, m+1]
-        kmax = signs.shape[2]
+        # ONE packed device->host fetch for the whole log: per-field
+        # np.asarray costs one ~15-30 ms RPC each on a remote-attached
+        # runtime (18 fields ~ 0.3 s per chunk, measured r5); stacking on
+        # device and fetching once is a single round-trip. ncp/signs ride
+        # along as f32 (values are tiny integers / +-1, exact).
+        import jax.numpy as jnp
+        kmax = int(log.signs.shape[2])
+        packed = np.asarray(jnp.concatenate(
+            [jnp.stack([getattr(log, k).astype(jnp.float32)
+                        for k in LOG_FIELDS]),
+             log.ncp.astype(jnp.float32)[None],
+             jnp.moveaxis(log.signs, 2, 0).astype(jnp.float32)], axis=0))
+        arrs = {k: packed[i] for i, k in enumerate(LOG_FIELDS)}
+        n = len(LOG_FIELDS)
+        ncp = packed[n].astype(np.int32)    # [steps, C]
+        signs = np.moveaxis(packed[n + 1:n + 1 + kmax], 0, 2)
+        # expand completed-code-period signs into the cp_sign streams with
+        # one boolean mask per channel (row-major flattening preserves the
+        # (step ascending, k ascending) order of the per-period stream);
+        # the per-step python loop this replaces cost ~0.5 s per 2 s chunk
+        k_arange = np.arange(kmax)[None, :]
         for ci, prn in enumerate(self.prn_list):
             ch = self.channels[prn]
             ch.append(**{k: arrs[k][:, ci] for k in LOG_FIELDS})
-            # expand completed-code-period signs into the cp_sign stream
-            out = []
-            for t in np.nonzero(ncp[:, ci] >= 1)[0]:
-                for k in range(min(int(ncp[t, ci]), kmax)):
-                    out.append(signs[t, ci, k])
-            if out:
-                ch.cp_sign = np.concatenate([ch.cp_sign, np.array(out)])
+            take = k_arange < np.minimum(ncp[:, ci], kmax)[:, None]
+            if take.any():
+                ch.cp_sign = np.concatenate([ch.cp_sign,
+                                             signs[:, ci, :][take]])
 
     # -- navigation --------------------------------------------------------
 
