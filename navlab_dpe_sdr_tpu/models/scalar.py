@@ -189,34 +189,37 @@ class ScalarReceiver:
                     raw[u, o * s:(o + 1) * s, 1] = blk.imag
                 return raw
 
-        # double-buffered uploads: device_put is asynchronous, so issuing
-        # chunk k+1's upload BEFORE absorbing chunk k's log overlaps the
-        # host->device transfer (the dominant remote-runtime term, ~0.4 s
-        # per 2 s chunk even at int16) with device compute + the log fetch
+        # double-buffered uploads on a staging thread: device_put BLOCKS
+        # for the RPC on this runtime (~0.4 s per 2 s chunk even at
+        # int16 — the dominant tracking-wall term), but the GIL releases
+        # during the transfer, so a one-thread executor overlaps chunk
+        # k+1's read+upload with chunk k's device scan + log fetch
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stage(n):
+            start = rf.sample_pos
+            return n, start, jax.device_put(read_chunk(n))
+
         done = 0
-        n0 = min(chunk_ms, n_ms - done) // coh_ms
-        start_samp = rf.sample_pos
-        staged = (n0, start_samp, jax.device_put(read_chunk(n0)))
-        while staged is not None:
-            n, start_samp, raw_dev = staged
-            if batch_k > 1:
-                self.state, log = trk_ops.track_chunk_batched(
-                    self.state, raw_dev, self.code_table, rf.fs,
-                    rf.fcaid, self.loops, batch_k=batch_k)
-            else:
-                self.state, log = trk_ops.track_chunk(
-                    self.state, raw_dev, self.code_table, rf.fs,
-                    rf.fcaid, self.loops, coh_ms=coh_ms)
-            done += n * coh_ms
-            if done < n_ms:
-                n1 = min(chunk_ms, n_ms - done) // coh_ms
-                samp1 = rf.sample_pos
-                staged = (n1, samp1, jax.device_put(read_chunk(n1)))
-            else:
-                staged = None
-            self._absorb_log(log)
-            self._m_samp.extend(start_samp + (np.arange(n) + 1) * sw)
-            self.mcount += n
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(stage, min(chunk_ms, n_ms - done) // coh_ms)
+            while fut is not None:
+                n, start_samp, raw_dev = fut.result()
+                done += n * coh_ms
+                fut = (pool.submit(stage,
+                                   min(chunk_ms, n_ms - done) // coh_ms)
+                       if done < n_ms else None)
+                if batch_k > 1:
+                    self.state, log = trk_ops.track_chunk_batched(
+                        self.state, raw_dev, self.code_table, rf.fs,
+                        rf.fcaid, self.loops, batch_k=batch_k)
+                else:
+                    self.state, log = trk_ops.track_chunk(
+                        self.state, raw_dev, self.code_table, rf.fs,
+                        rf.fcaid, self.loops, coh_ms=coh_ms)
+                self._absorb_log(log)
+                self._m_samp.extend(start_samp + (np.arange(n) + 1) * sw)
+                self.mcount += n
 
     def _absorb_log(self, log):
         # ONE packed device->host fetch for the whole log: per-field
