@@ -222,22 +222,25 @@ class ScalarReceiver:
                 self.mcount += n
 
     def _absorb_log(self, log):
-        # ONE packed device->host fetch for the whole log: per-field
-        # np.asarray costs one ~15-30 ms RPC each on a remote-attached
-        # runtime (18 fields ~ 0.3 s per chunk, measured r5); stacking on
-        # device and fetching once is a single round-trip. ncp/signs ride
-        # along as f32 (values are tiny integers / +-1, exact).
-        import jax.numpy as jnp
+        # TWO packed device->host fetches for the whole log (floats+signs,
+        # and the integer counters at full int32 exactness — cp is a
+        # cumulative code-period count that outgrows f32-exact integers
+        # after ~4.6 h): per-field np.asarray costs one ~15-30 ms RPC each
+        # on a remote-attached runtime (18 fields ~ 0.3 s per chunk,
+        # measured r5); device-side stacks make it two round-trips.
         kmax = int(log.signs.shape[2])
+        f_fields = [k for k in LOG_FIELDS if k != "cp"]
         packed = np.asarray(jnp.concatenate(
             [jnp.stack([getattr(log, k).astype(jnp.float32)
-                        for k in LOG_FIELDS]),
-             log.ncp.astype(jnp.float32)[None],
+                        for k in f_fields]),
              jnp.moveaxis(log.signs, 2, 0).astype(jnp.float32)], axis=0))
-        arrs = {k: packed[i] for i, k in enumerate(LOG_FIELDS)}
-        n = len(LOG_FIELDS)
-        ncp = packed[n].astype(np.int32)    # [steps, C]
-        signs = np.moveaxis(packed[n + 1:n + 1 + kmax], 0, 2)
+        ints = np.asarray(jnp.stack([log.cp.astype(jnp.int32),
+                                     log.ncp.astype(jnp.int32)]))
+        arrs = {k: packed[i] for i, k in enumerate(f_fields)}
+        arrs["cp"] = ints[0]
+        n = len(f_fields)
+        ncp = ints[1]                       # [steps, C]
+        signs = np.moveaxis(packed[n:n + kmax], 0, 2)
         # expand completed-code-period signs into the cp_sign streams with
         # one boolean mask per channel (row-major flattening preserves the
         # (step ascending, k ascending) order of the per-period stream);
