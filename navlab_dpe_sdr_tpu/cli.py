@@ -515,6 +515,18 @@ def cmd_fleet(args):
     elif any(set(g) != set(prns) for g in decoded):
         print("not all ephemerides decoded (need ~36 s of data or --rinex); "
               "skipping alignment/DPE")
+        if args.live:
+            # the lag/delivery accounting matters MOST when diagnosing a
+            # failed live run — emit it and shut the radios down
+            fleet.mark_phase("decode_failed")
+            stats = {"sources": fleet.live_stats(),
+                     "behind_max_s": round(fleet.multi.behind_max_s, 4),
+                     "decode_failed": True}
+            print(f"live stats: {stats}")
+            if args.stats_out:
+                with open(args.stats_out, "w") as f:
+                    json.dump(stats, f, indent=1)
+            fleet.multi.close()
         return
     offsets = fleet.align()
     if args.live:

@@ -34,6 +34,7 @@ import numpy as np
 from .rawfile import DTYPE_IQ16, SampleFile
 
 F_L1_HZ = 1575.42e6      # GPS L1 center (guhd.cpp L1 tuning)
+F_L2_HZ = 1227.60e6      # GPS L2 center (guhd.cpp ltwo channels)
 DEFAULT_GAIN_DB = 50.0   # guhd.cpp gain default
 
 
@@ -235,6 +236,37 @@ class SoapyRadio(SampleSource):
                                              [channel])
         self._dev.activateStream(self._stream)
         self._buf = np.empty(self.block_samples * 2, np.int16)
+
+    def apply_sync(self, sync, index: int = 0,
+                   epoch: float | None = None):       # pragma: no cover
+        """Apply a MultiSource RadioSyncConfig to this device: clock
+        source, PPS time discipline (set_time_unknown_pps(0) + 1 s wait,
+        guhd.cpp:230-233), MIMO slaving (this board's clock AND time ride
+        the MIMO cable when it is the configured slave, guhd.cpp:219-225),
+        and arm the stream at a shared future hardware time
+        (stream_cmd.time_spec = now + setup_time, guhd.cpp:126-130).
+        Hardware-only; unexercised in CI."""
+        del epoch                                     # host epoch n/a here
+        from SoapySDR import SOAPY_SDR_RX
+        if index in sync.l2_channels:                 # guhd ltwo option
+            self._dev.setFrequency(SOAPY_SDR_RX, 0, F_L2_HZ)
+        if sync.mimo_slave is not None and index == sync.mimo_slave:
+            self._dev.setClockSource("mimo")
+            self._dev.setTimeSource("mimo")
+        else:
+            self._dev.setClockSource(sync.clock_source)
+            if sync.pps_sync:
+                self._dev.setTimeSource("external")
+                self._dev.setHardwareTime(0, "PPS")
+                time.sleep(1.0)                       # wait one PPS edge
+        # re-arm the stream at a shared future device time
+        try:
+            self._dev.deactivateStream(self._stream)
+            t_start = self._dev.getHardwareTime() + int(
+                sync.setup_time_s * 1e9)
+            self._dev.activateStream(self._stream, 0, t_start)
+        except Exception:
+            self._dev.activateStream(self._stream)
 
     def next_block(self):                             # pragma: no cover
         got = 0
@@ -448,14 +480,23 @@ class LiveSampleFile(SampleFile):
         return self._delivered
 
     def _wait_for(self, n: int):
-        deadline = time.perf_counter() + self.timeout_s
+        # STALL timeout, not a total-wait deadline: a healthy real-time
+        # source delivering a large future window takes window-seconds of
+        # wall time by definition; the timeout only fires if delivery
+        # makes NO progress for timeout_s (the watchdog contract)
         with self._cv:
+            deadline = time.perf_counter() + self.timeout_s
+            seen = self._delivered
             while self._delivered < n and not self._done:
+                if self._delivered > seen:
+                    seen = self._delivered
+                    deadline = time.perf_counter() + self.timeout_s
                 left = deadline - time.perf_counter()
                 if left <= 0:
                     raise TimeoutError(
-                        f"live source stalled: need {n} samples, "
-                        f"delivered {self._delivered}")
+                        f"live source stalled: no delivery for "
+                        f"{self.timeout_s} s (need {n} samples, "
+                        f"delivered {self._delivered})")
                 self._cv.wait(timeout=min(left, 0.1))
             if self._delivered < n:
                 raise EOFError(f"stream ended: need {n} samples, "

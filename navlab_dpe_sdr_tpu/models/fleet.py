@@ -159,10 +159,23 @@ class ReceiverFleet:
         def run_one(idx_rx):
             idx, drx = idx_rx
             if lookahead > 1:
-                n = n_blocks - n_blocks % lookahead
-                drx.run_batched(n, lookahead=lookahead, pipeline=True)
-                if checkpoint_dir:
-                    np.save(f"{checkpoint_dir}/{self.labels[idx]}_X.npy",
+                k = min(lookahead, n_blocks)     # never round down to zero
+                n = n_blocks - n_blocks % k
+                if n != n_blocks:
+                    print(f"fleet dpe: trimming {n_blocks - n} blocks to "
+                          f"whole {k}-block dispatches")
+                done = 0
+                # honor the periodic-checkpoint contract in batched mode
+                # too (0_Data_reduction.py:175-179): save every
+                # checkpoint_every blocks rounded to whole dispatches
+                seg = max(k, checkpoint_every - checkpoint_every % k)
+                while done < n:
+                    step_n = min(seg, n - done)
+                    drx.run_batched(step_n, lookahead=k, pipeline=True)
+                    done += step_n
+                    if checkpoint_dir:
+                        np.save(
+                            f"{checkpoint_dir}/{self.labels[idx]}_X.npy",
                             np.stack([f.x_ecef for f in drx.fixes]))
                 return
             for b in range(n_blocks):

@@ -780,6 +780,8 @@ track_chunk.clear_cache = _track_chunk_jit.clear_cache
 # ---------------------------------------------------------------------------
 
 _TRACKCAL_MEM: dict[str, dict] = {}
+_TRACKCAL_LOCK = __import__("threading").Lock()
+_STRATEGIES = ("auto", "factored", "constfold", "onehot", "gather")
 
 
 def _trackcal_key() -> str:
@@ -897,30 +899,41 @@ def replica_strategy(coh_ms: int = 1, tree=None) -> str:
 
     env = os.environ.get("NAVLAB_TRACK_STRATEGY")
     if env:
+        if env not in _STRATEGIES:      # fail HERE, not inside the trace
+            raise ValueError(
+                f"NAVLAB_TRACK_STRATEGY={env!r}: expected one of "
+                f"{_STRATEGIES}")
         return env
     if coh_ms > 1 or jax.default_backend() != "tpu":
         return "auto"
     key = _trackcal_key()
     cal = _TRACKCAL_MEM.get(key)
     if cal is None:
-        try:
-            with open(_trackcal_path()) as f:
-                cal = json.load(f)
-        except (OSError, ValueError):
-            cal = None
-        if cal is None and os.environ.get("NAVLAB_NO_TRACKCAL") != "1":
-            if tree is not None and any(
-                    isinstance(x, jax.core.Tracer)
-                    for x in jax.tree.leaves(tree)):
-                return "auto"
-            try:
-                cal = calibrate_replica_strategy()
-            except Exception as e:                    # pragma: no cover
-                print(f"# trackcal failed ({type(e).__name__}: {e}); "
-                      f"using backend heuristic", file=sys.stderr)
-                cal = {"chosen": "auto"}
-        _TRACKCAL_MEM[key] = cal or {"chosen": "auto"}
-        cal = _TRACKCAL_MEM[key]
+        if tree is not None and any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree.leaves(tree)):
+            return "auto"               # inside an outer trace: no timing
+        # serialized first-use: N fleet threads hitting a cold cache must
+        # not run N concurrent (mutually-contending) calibrations
+        with _TRACKCAL_LOCK:
+            cal = _TRACKCAL_MEM.get(key)
+            if cal is None:
+                try:
+                    with open(_trackcal_path()) as f:
+                        cal = json.load(f)
+                except (OSError, ValueError):
+                    cal = None
+                if (cal is None
+                        and os.environ.get("NAVLAB_NO_TRACKCAL") != "1"):
+                    try:
+                        cal = calibrate_replica_strategy()
+                    except Exception as e:            # pragma: no cover
+                        print(f"# trackcal failed ({type(e).__name__}: "
+                              f"{e}); using backend heuristic",
+                              file=sys.stderr)
+                        cal = {"chosen": "auto"}
+                _TRACKCAL_MEM[key] = cal or {"chosen": "auto"}
+                cal = _TRACKCAL_MEM[key]
     return cal.get("chosen", "auto")
 
 

@@ -105,7 +105,7 @@ def test_live_fleet_two_radios_shared_clock():
         assert spread < 25.0, spread                  # grid-noise class
         for d in dpes:
             err = np.linalg.norm(
-                np.asarray(dpes[0].fixes[-1].x_ecef[:3]) - hand.x_ecef[:3])
+                np.asarray(d.fixes[-1].x_ecef[:3]) - hand.x_ecef[:3])
             assert err < 40.0, err
 
         stats = fleet.live_stats()
